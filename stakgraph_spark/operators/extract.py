@@ -1,0 +1,131 @@
+"""Candidate extraction — the per-turn flatMap stage.
+
+Analog of the reference's per-file tree-sitter extraction operators
+(collect_classes / collect_functions / get_function_calls, SURVEY.md
+§2.2; ast/src/lang/parse/collect.rs). The key property preserved:
+extraction is a PURE function of the turn text (the reference parses
+each file independently; graph context is only consulted in later
+join stages — builder/core.rs:33-107), which makes it embarrassingly
+parallel over conv_id partitions.
+
+Hot path uses built-in regexp functions (JVM-side, whole-stage
+codegen) — not Python. A pandas-UDF rule-pack executor
+(`extract_mentions_rulepack`) provides the extensibility surface
+(the Stack-trait analog, queries/mod.rs:51-303) and is tested for
+equality with the built-in path; rule packs are data, not code.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTION_RE = r"@([A-Za-z0-9_.\-]+)"
+TOOL_RE = r"tool:([a-z]+)\("
+REQUEST_RE = r"(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:\-]+)"
+TESTREF_RE = r"ref test_([0-9]+)"
+TESTDEF_RE = r"defines test_([0-9]+)"
+NUMSEG_RE = r"/[0-9]+"
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, surface): distinct '@alias' mentions."""
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), 1)).alias("surface"),
+        )
+        .distinct()
+    )
+
+
+def extract_tool_calls(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, toolname): `tool:name(` invocations."""
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", F.regexp_extract("text", TOOL_RE, 1).alias("toolname")
+        )
+        .where(F.col("toolname") != "")
+    )
+
+
+def extract_requests(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, verb, path, norm_path).
+
+    norm_path replaces numeric segments with ':param' — the
+    normalize_backend_path analog (linker.rs:195-230) that turns the
+    reference's O(n*m) nested-loop request/endpoint matching into a
+    partitioned equi-join on (verb, norm_path).
+    """
+    ex = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract("text", REQUEST_RE, 1).alias("verb"),
+        F.regexp_extract("text", REQUEST_RE, 2).alias("path"),
+    ).where(F.col("verb") != "")
+    return ex.withColumn("norm_path", F.regexp_replace("path", NUMSEG_RE, "/:param"))
+
+
+def extract_test_refs(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, tid): `ref test_<k>` references
+    (extract_test_ids analog, linker.rs:115-127)."""
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", F.regexp_extract("text", TESTREF_RE, 1).alias("tid")
+        )
+        .where(F.col("tid") != "")
+    )
+
+
+def extract_test_defs(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, tid): `defines test_<k>` definitions."""
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", F.regexp_extract("text", TESTDEF_RE, 1).alias("tid")
+        )
+        .where(F.col("tid") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rule-pack executor: Arrow-batched pandas path (extensibility surface).
+# ---------------------------------------------------------------------------
+
+DEFAULT_RULEPACK = [("mention", MENTION_RE)]
+
+
+def extract_mentions_rulepack(
+    transcripts: DataFrame, rulepack: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """Same semantics as extract_mentions, executed as an
+    Arrow-batched mapInPandas over conv_id-partitioned batches.
+    New rule packs are added as (rule_name, regex) data.
+    """
+    import re
+
+    rules = [(n, re.compile(p)) for n, p in (rulepack or DEFAULT_RULEPACK)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_conv, out_turn, out_surface, out_rule = [], [], [], []
+            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                seen = set()
+                for name, rx in rules:
+                    for m in rx.findall(text):
+                        if (name, m) not in seen:
+                            seen.add((name, m))
+                            out_conv.append(conv)
+                            out_turn.append(turn)
+                            out_surface.append(m)
+                            out_rule.append(name)
+            yield pd.DataFrame(
+                {"conv_id": out_conv, "turn_idx": out_turn, "surface": out_surface, "rule": out_rule}
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, "conv_id STRING, turn_idx INT, surface STRING, rule STRING"
+    )

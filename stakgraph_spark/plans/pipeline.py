@@ -1,0 +1,59 @@
+"""The 5-superstage pipeline DAG.
+
+The reference's 14-stage build (ast/src/builder/core.rs:33-107)
+collapses, for transcripts, into the dependency DAG SURVEY.md §3.1
+identifies: scaffold -> entities -> in-file relations -> resolution
+joins -> global linkers. Stages are declarative DataFrame plans;
+Catalyst fuses them — materialization boundaries exist only at the
+sink (and at checkpoints for resume, streaming/incremental.py).
+
+Partitioning doctrine: the transcript stream is repartitioned by
+conv_id once, up front; every per-conversation stage (extraction,
+same-conv linking tier, per-conv pre-aggregation) then reuses that
+partitioning without further shuffles. Dictionary joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import extract as X
+from ..operators import link as L
+from ..operators import materialize as M
+from ..sources import transcripts as TS
+
+
+def build_graph(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    repartition_by_conv: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full KG construction; returns every stage's DataFrame.
+
+    Nothing is executed here — callers trigger actions (write/count)
+    on the pieces they need; Spark computes shared ancestors once per
+    action tree (use .persist() on `transcripts` for multi-action
+    workloads).
+    """
+    if repartition_by_conv:
+        transcripts = transcripts.repartition("conv_id")
+
+    mentions = X.extract_mentions(transcripts)
+    resolved = L.link_mentions(spark, mentions)
+    ent_nodes = M.entity_nodes(spark)
+    nodes = M.build_nodes(spark, transcripts, ent_nodes)
+    edges = M.build_edges(spark, transcripts, resolved, ent_nodes)
+    return {
+        "transcripts": transcripts,
+        "mentions": mentions,
+        "resolved": resolved,
+        "ent_nodes": ent_nodes,
+        "nodes": nodes,
+        "edges": edges,
+        "triples": M.triples(edges),
+    }
+
+
+def build_from_sf_dir(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return build_graph(spark, TS.read_transcripts(spark, sf_dir))

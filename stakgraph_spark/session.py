@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench, and the
+driver entrypoint agree. Tuned for local[N] here, but every setting is
+the one you'd ship to a 1000-executor cluster: AQE on (runtime shuffle
+coalescing + skew-join splitting), Arrow for the pandas-UDF stages,
+shuffle partitions sized to cores (overridable via env for cluster
+runs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stakgraph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so bench can pit local[8] vs local[32] for the scaling-efficiency
+    protocol (BASELINE.md).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # cores-proportional: at cluster scale this is set to
+        # 2-3x total cores by the submitter; AQE coalesces down.
+        n = cpus if cpus != "*" else str(os.cpu_count() or 8)
+        shuffle_partitions = max(int(n) * 2, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join splitting, local-shuffle
+        # broadcast conversion — all essential at 100TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / mapInPandas stage.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamps across engines (oracle parity).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Keep broadcast threshold explicit: entity dictionaries are
+        # broadcast by hint, not by accident.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE", "/tmp/sg_warehouse"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_spark() -> None:
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.stop()

@@ -1,0 +1,244 @@
+"""DuckDB-oracle SQL rendering of the KG pipeline.
+
+The correctness gate (driver CORRECTNESS_r{N}.json) runs each Spark
+query side-by-side with an ANSI-SQL oracle in DuckDB. This module
+renders the ENTIRE pipeline — transcript derivation, extraction,
+tiered entity linking, connected-component canonicalization
+(recursive CTE), node/edge materialization — as one WITH-RECURSIVE
+prelude over the pre-registered `events` view, so every stage is
+independently checkable. This is a deliberate second implementation
+(differential testing, the analog of the reference's
+ArrayGraph-vs-BTreeMapGraph comparison,
+ast/src/testing/graphs/compare_graphs.rs:79-102).
+
+Semantics mirrored from the reference:
+  * node_key recipe — ast/src/utils.rs:67-90,143-149
+  * tiered resolution (global-unique > mock-excluded-unique >
+    same-conversation > deterministic fallback) — call_finder.rs:20-63
+  * path-normalized request->endpoint linking — linker.rs:129-266
+  * shared-test-id linking — linker.rs:56-127
+  * edge identity/dedup (src, dst, type) — array_graph.rs:775-781
+"""
+
+from __future__ import annotations
+
+from ..functions.keys import node_key_sql
+from ..sources import entities as E
+
+D = "duckdb"
+
+
+def _ev0_sql() -> str:
+    return f"""
+SELECT event_id, user_id, event_type, ts,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) - 1 AS turn_idx,
+  CASE WHEN event_type IN ('click','view') THEN 'user'
+       WHEN event_type = 'signup' THEN 'system'
+       WHEN event_type = 'error' THEN 'tool'
+       ELSE 'assistant' END AS role,
+  CASE WHEN event_id % 5 < 2 THEN 0 ELSE CAST((event_id % 997) % {E.N_MENTIONABLE} AS INT) END AS ent_idx,
+  CAST((event_id % 9) % 3 AS INT) AS alias_idx,
+  CAST((event_id % 13) % {E.N_MENTIONABLE} AS INT) AS ent2_idx,
+  CAST(event_id % 50 AS INT) AS tid,
+  CAST(event_id % 1000 AS INT) AS resid,
+  CAST(100 + event_id % 5 AS INT) AS ep_id,
+  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'search' WHEN 1 THEN 'fetch' ELSE 'calc' END AS toolname
+FROM events"""
+
+
+def _transcripts_sql() -> str:
+    return """
+SELECT 'conv_' || lpad(CAST(e.user_id AS STRING), 6, '0') AS conv_id,
+  e.turn_idx AS turn_idx,
+  e.role AS role,
+  CASE e.role
+    WHEN 'user' THEN 'u' || CAST(e.event_id AS STRING) || ' please check @' || a1.alias
+      || CASE WHEN e.event_id % 4 = 0 THEN ' and @' || a2.alias ELSE '' END
+      || CASE WHEN e.event_id % 17 = 0 THEN ' cf @AuthCore' ELSE '' END
+      || ' thanks'
+    WHEN 'system' THEN 'sys ' || CAST(e.event_id AS STRING) || ' defines test_' || CAST(e.tid AS STRING)
+    WHEN 'tool' THEN 'tool:' || e.toolname || '(q="@' || a1.alias || '") -> ok T' || CAST(e.tid AS STRING)
+    ELSE 'a' || CAST(e.event_id AS STRING) || ' used @' || a1.alias || ' via ' || ep.verb
+      || ' /api/' || ep.seg || '/' || CAST(e.resid AS STRING) || ' ref test_' || CAST(e.tid AS STRING)
+  END AS text,
+  CASE WHEN e.role = 'tool' THEN e.toolname ELSE '' END AS tool,
+  e.ts AS ts
+FROM ev0 e
+JOIN als a1 ON a1.entity_id = e.ent_idx AND a1.alias_idx = e.alias_idx
+JOIN als a2 ON a2.entity_id = e.ent2_idx AND a2.alias_idx = 0
+JOIN eps ep ON ep.entity_id = e.ep_id"""
+
+
+# node_key expressions (duckdb dialect)
+REPO_KEY = "'repository-corpus-corpus-0'"
+
+
+def _conv_key(conv: str) -> str:
+    return node_key_sql("'File'", conv, f"'corpus/' || {conv}", "0", D)
+
+
+def _turn_key(conv: str, turn: str) -> str:
+    return node_key_sql("'Function'", f"'turn_' || CAST({turn} AS STRING)", f"'corpus/' || {conv}", turn, D)
+
+
+def _ent_key(typ: str, name: str, eid: str) -> str:
+    return node_key_sql(typ, name, "'entities'", eid, D)
+
+
+def prelude() -> str:
+    """The full WITH RECURSIVE chain; append `SELECT ... FROM <cte>`."""
+    return f"""WITH RECURSIVE
+ents AS ({E.entities_cte()}),
+als AS ({E.aliases_cte()}),
+tls AS ({E.tools_cte()}),
+eps AS ({E.endpoints_cte()}),
+sa AS ({E.same_as_cte()}),
+ev0 AS ({_ev0_sql()}),
+transcripts AS ({_transcripts_sql()}),
+mentions AS (
+  SELECT DISTINCT conv_id, turn_idx, m AS surface
+  FROM (SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '@([A-Za-z0-9_.-]+)', 1)) AS m
+        FROM transcripts)
+),
+tool_calls AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, 'tool:([a-z]+)\\(', 1) AS toolname
+  FROM transcripts WHERE regexp_matches(text, 'tool:([a-z]+)\\(')
+),
+requests AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 1) AS verb,
+         regexp_extract(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 2) AS path,
+         regexp_replace(regexp_extract(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 2),
+                        '/[0-9]+', '/:param', 'g') AS norm_path
+  FROM transcripts WHERE regexp_matches(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)')
+),
+testrefs AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, 'ref test_([0-9]+)', 1) AS tid
+  FROM transcripts WHERE regexp_matches(text, 'ref test_([0-9]+)')
+),
+testdefs AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, 'defines test_([0-9]+)', 1) AS tid
+  FROM transcripts WHERE regexp_matches(text, 'defines test_([0-9]+)')
+),
+dct AS (
+  SELECT DISTINCT a.alias, a.entity_id, e.canonical_name, e.entity_type,
+         CASE WHEN lower(e.canonical_name) LIKE '%mock%' THEN 1 ELSE 0 END AS is_mock
+  FROM als a JOIN ents e ON e.entity_id = a.entity_id
+),
+alias_stats AS (
+  SELECT alias, CAST(count(*) AS INT) AS n_all,
+         CAST(sum(1 - is_mock) AS INT) AS n_nonmock
+  FROM dct GROUP BY alias
+),
+cand AS (
+  SELECT m.conv_id, m.turn_idx, m.surface, d.entity_id, d.is_mock,
+         s.n_all, s.n_nonmock
+  FROM mentions m
+  JOIN dct d ON d.alias = m.surface
+  JOIN alias_stats s ON s.alias = m.surface
+),
+unamb AS (
+  SELECT DISTINCT conv_id, entity_id FROM cand
+  WHERE n_all = 1 OR (n_nonmock = 1 AND is_mock = 0)
+),
+scored AS (
+  SELECT c.conv_id, c.turn_idx, c.surface, c.entity_id,
+         CASE WHEN c.n_all = 1 THEN 3
+              WHEN c.n_nonmock = 1 AND c.is_mock = 0 THEN 3
+              WHEN u.entity_id IS NOT NULL THEN 2
+              ELSE 1 END AS score
+  FROM cand c
+  LEFT JOIN unamb u ON u.conv_id = c.conv_id AND u.entity_id = c.entity_id
+),
+resolved AS (
+  SELECT conv_id, turn_idx, surface, entity_id, score FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY conv_id, turn_idx, surface
+      ORDER BY score DESC, entity_id ASC) AS rk
+    FROM scored s) WHERE rk = 1
+),
+allents AS (
+  SELECT entity_id, canonical_name, entity_type FROM ents
+  UNION ALL SELECT entity_id, canonical_name, entity_type FROM tls
+  UNION ALL SELECT entity_id, canonical_name, 'Endpoint' AS entity_type FROM eps
+),
+sym AS (SELECT a, b FROM sa UNION ALL SELECT b AS a, a AS b FROM sa),
+reach AS (
+  SELECT entity_id AS src, entity_id AS dst FROM allents
+  UNION
+  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON s.a = r.dst
+),
+canon AS (
+  SELECT src AS entity_id, CAST(MIN(dst) AS INT) AS canon_id
+  FROM reach GROUP BY src
+),
+ent_nodes AS (
+  SELECT {_ent_key('e.entity_type', 'e.canonical_name', 'e.entity_id')} AS node_key,
+         e.entity_type AS node_type, e.canonical_name AS name,
+         'entities' AS file, e.entity_id AS start, c.canon_id AS canon_id
+  FROM allents e JOIN canon c ON c.entity_id = e.entity_id
+),
+nodes AS (
+  SELECT 'repository-corpus-corpus-0' AS node_key, 'Repository' AS node_type,
+         'corpus' AS name, 'corpus' AS file, 0 AS start
+  UNION ALL
+  SELECT DISTINCT {_conv_key('conv_id')} AS node_key, 'File' AS node_type,
+         conv_id AS name, 'corpus/' || conv_id AS file, 0 AS start
+  FROM transcripts
+  UNION ALL
+  SELECT {_turn_key('conv_id', 'turn_idx')} AS node_key, 'Function' AS node_type,
+         'turn_' || CAST(turn_idx AS STRING) AS name, 'corpus/' || conv_id AS file,
+         turn_idx AS start
+  FROM transcripts
+  UNION ALL
+  SELECT node_key, node_type, name, file, start FROM ent_nodes
+),
+edges_raw AS (
+  SELECT 'CONTAINS' AS edge_type, {REPO_KEY} AS source_key,
+         {_conv_key('conv_id')} AS target_key
+  FROM (SELECT DISTINCT conv_id FROM transcripts)
+  UNION ALL
+  SELECT 'CONTAINS', {_conv_key('conv_id')}, {_turn_key('conv_id', 'turn_idx')}
+  FROM transcripts
+  UNION ALL
+  SELECT 'USES', {_turn_key('r.conv_id', 'r.turn_idx')}, en.node_key
+  FROM resolved r
+  JOIN canon c ON c.entity_id = r.entity_id
+  JOIN ent_nodes en ON en.start = c.canon_id
+  UNION ALL
+  SELECT 'CALLS', {_turn_key('tc.conv_id', 'tc.turn_idx')}, en.node_key
+  FROM tool_calls tc
+  JOIN tls t ON t.canonical_name = tc.toolname
+  JOIN ent_nodes en ON en.start = t.entity_id
+  UNION ALL
+  SELECT 'CALLS', {_turn_key('r.conv_id', 'r.turn_idx')}, en.node_key
+  FROM requests r
+  JOIN eps ep ON ep.verb = r.verb AND '/api/' || ep.seg || '/:param' = r.norm_path
+  JOIN ent_nodes en ON en.start = ep.entity_id
+  UNION ALL
+  SELECT 'CALLS', {_turn_key('tr.conv_id', 'tr.turn_idx')}, {_turn_key('td.conv_id', 'td.turn_idx')}
+  FROM testrefs tr
+  JOIN (SELECT tid, conv_id, turn_idx FROM (
+          SELECT tid, conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY tid ORDER BY conv_id, turn_idx) AS rk
+          FROM testdefs) WHERE rk = 1) td ON td.tid = tr.tid
+  UNION ALL
+  SELECT 'HANDLER', en.node_key, {_turn_key('fr.conv_id', 'fr.turn_idx')}
+  FROM (SELECT verb, norm_path, conv_id, turn_idx FROM (
+          SELECT r.*, row_number() OVER (PARTITION BY verb, norm_path ORDER BY conv_id, turn_idx) AS rk
+          FROM requests r) WHERE rk = 1) fr
+  JOIN eps ep ON ep.verb = fr.verb AND '/api/' || ep.seg || '/:param' = fr.norm_path
+  JOIN ent_nodes en ON en.start = ep.entity_id
+  UNION ALL
+  SELECT 'OF', en.node_key, ec.node_key
+  FROM ent_nodes en JOIN ent_nodes ec ON ec.start = en.canon_id
+  WHERE en.canon_id <> en.start
+),
+edges AS (SELECT DISTINCT edge_type, source_key, target_key FROM edges_raw),
+triples AS (SELECT source_key AS subj, edge_type AS pred, target_key AS obj FROM edges)
+"""
+
+
+def q(select: str) -> str:
+    """Compose a full oracle query: prelude + final SELECT."""
+    return prelude() + "\n" + select
