@@ -118,8 +118,164 @@ def _q_uses_by_entity(spark, sf_dir):
     return uses_by_entity(g["resolved"], g["ent_nodes"])
 
 
+# --- graph query surface (SURVEY.md §2.3 / §2.12) ---
+
+def _q_find_class_nodes(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import find_nodes_by_type
+
+    return find_nodes_by_type(_graph(spark, sf_dir)["nodes"], "Class")
+
+
+def _q_name_contains(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import find_nodes_by_name_contains
+
+    return find_nodes_by_name_contains(_graph(spark, sf_dir)["nodes"], "Class", "Core")
+
+
+def _q_nodes_with_uses_edges(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import find_nodes_with_edge_type
+
+    g = _graph(spark, sf_dir)
+    return find_nodes_with_edge_type(g["nodes"], g["edges"], "HANDLER")
+
+
+def _q_latest_per_type(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import latest_per_type
+
+    return latest_per_type(_graph(spark, sf_dir)["nodes"], 3)
+
+
+def _q_search(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import search_nodes
+
+    return search_nodes(_graph(spark, sf_dir)["nodes"], "order service", limit=10)
+
+
+def _q_coverage(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import coverage_stats
+
+    g = _graph(spark, sf_dir)
+    return coverage_stats(g["nodes"], g["edges"], "Endpoint")
+
+
+def _q_uncovered(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import list_uncovered
+
+    g = _graph(spark, sf_dir)
+    return list_uncovered(g["nodes"], g["edges"], "Class")
+
+
+def _q_subtree(spark, sf_dir):
+    from stakgraph_spark.operators.materialize import REPO_KEY
+    from stakgraph_spark.operators.queryops import subtree
+
+    g = _graph(spark, sf_dir)
+    roots = spark.createDataFrame([(REPO_KEY,)], "node_key STRING")
+    return subtree(g["edges"], roots, depth=2, edge_types=("CONTAINS",))
+
+
+# --- training-data pipeline: dedup / similarity / text analysis ---
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from stakgraph_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from stakgraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), 0.6)
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from stakgraph_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    import stakgraph_spark.operators.dedup as DD
+
+    return sigs.selectExpr(
+        "doc_id", *[f"sig[{i}] AS m{i}" for i in range(DD.MINHASH_K)]
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from stakgraph_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), 0.6)
+
+
+def _q_simhash(spark, sf_dir):
+    from stakgraph_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from stakgraph_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), 3)
+
+
+def _q_embed_cosine_pairs(spark, sf_dir):
+    from stakgraph_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(_embs(spark, sf_dir), 0.3)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from stakgraph_spark.operators.similarity import ann_topk
+
+    return ann_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], 5)
+
+
+def _q_ann_lsh_pairs(spark, sf_dir):
+    from stakgraph_spark.operators.similarity import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(_embs(spark, sf_dir), 0.25)
+
+
+def _q_lang_id(spark, sf_dir):
+    from stakgraph_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from stakgraph_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    from stakgraph_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from stakgraph_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    from stakgraph_spark.operators.multimodal import attach_media, extract_features
+
+    return extract_features(attach_media(_docs(spark, sf_dir))).drop("feat")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # KG construction pipeline stages
         "kg_transcripts": _q_transcripts,
         "kg_mentions": _q_mentions,
         "kg_resolved": _q_resolved,
@@ -132,6 +288,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tool_calls": _q_tool_calls,
         "kg_requests": _q_requests,
         "kg_uses_by_entity": _q_uses_by_entity,
+        # graph query surface
+        "qs_find_class_nodes": _q_find_class_nodes,
+        "qs_name_contains": _q_name_contains,
+        "qs_handler_join": _q_nodes_with_uses_edges,
+        "qs_latest_per_type": _q_latest_per_type,
+        "qs_search": _q_search,
+        "qs_coverage": _q_coverage,
+        "qs_uncovered": _q_uncovered,
+        "qs_subtree": _q_subtree,
+        # training-data pipeline: dedup
+        "dd_exact": _q_dedup_exact,
+        "dd_ngram_jaccard": _q_dedup_jaccard,
+        "dd_minhash_sigs": _q_minhash_sigs,
+        "dd_minhash_lsh": _q_dedup_minhash_lsh,
+        "dd_simhash": _q_simhash,
+        "dd_simhash_pairs": _q_dedup_simhash,
+        # similarity search
+        "sim_cosine_pairs": _q_embed_cosine_pairs,
+        "sim_ann_topk": _q_ann_topk,
+        "sim_lsh_pairs": _q_ann_lsh_pairs,
+        # text analysis
+        "tx_lang_id": _q_lang_id,
+        "tx_quality": _q_quality,
+        "tx_token_count": _q_token_count,
+        "tx_fingerprint": _q_fingerprint,
+        # multimodal plumbing (pandas-UDF decode stub)
+        "mm_media_features": _q_media_features,
     }
 
 
@@ -141,9 +324,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from stakgraph_spark.sql.templates import q
+    from stakgraph_spark.operators.materialize import REPO_KEY
+    from stakgraph_spark.sql import data_templates as DT
+    from stakgraph_spark.sql.templates import q, subtree_sql
+
+    search_terms = ["order", "service"]
+    score = " + ".join(
+        f"(CASE WHEN contains(lower(name), '{t}') THEN 1 ELSE 0 END)" for t in search_terms
+    )
+    qs_oracles = {
+        "qs_find_class_nodes": q("SELECT * FROM nodes WHERE node_type = 'Class'"),
+        "qs_name_contains": q(
+            "SELECT * FROM nodes WHERE node_type = 'Class' AND contains(name, 'Core')"
+        ),
+        "qs_handler_join": q(
+            "SELECT e.source_key, s.name AS source_name, s.node_type AS source_type,"
+            " e.target_key, t.name AS target_name, t.node_type AS target_type"
+            " FROM edges e JOIN nodes s ON s.node_key = e.source_key"
+            " JOIN nodes t ON t.node_key = e.target_key WHERE e.edge_type = 'HANDLER'"
+        ),
+        "qs_latest_per_type": q(
+            "SELECT node_key, node_type, name, file, start FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY node_type"
+            " ORDER BY start DESC, node_key ASC) AS rk FROM nodes) WHERE rk <= 3"
+        ),
+        "qs_search": q(
+            f"SELECT node_key, node_type, name, file, start, CAST({score} AS INT) AS score"
+            " FROM nodes"
+            " WHERE node_type NOT IN ('UnitTest','IntegrationTest','E2etest')"
+            f" AND {score} > 0"
+            f" ORDER BY {score} DESC, node_key ASC LIMIT 10"
+        ),
+        "qs_coverage": q(
+            "SELECT 'Endpoint' AS target_type,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM nodes WHERE node_type = 'Endpoint') AS total,"
+            " (SELECT CAST(count(DISTINCT n.node_key) AS BIGINT) FROM nodes n"
+            "   JOIN edges e ON e.target_key = n.node_key AND e.edge_type IN ('USES','CALLS')"
+            "   WHERE n.node_type = 'Endpoint') AS covered,"
+            " round((SELECT count(DISTINCT n.node_key) FROM nodes n"
+            "   JOIN edges e ON e.target_key = n.node_key AND e.edge_type IN ('USES','CALLS')"
+            "   WHERE n.node_type = 'Endpoint') * 100.0 /"
+            " (SELECT count(*) FROM nodes WHERE node_type = 'Endpoint'), 2) AS percent"
+        ),
+        "qs_uncovered": q(
+            "SELECT * FROM nodes n WHERE n.node_type = 'Class' AND NOT EXISTS ("
+            " SELECT 1 FROM edges e WHERE e.target_key = n.node_key"
+            " AND e.edge_type IN ('USES','CALLS')) ORDER BY node_key"
+        ),
+        "qs_subtree": subtree_sql(REPO_KEY, 2, "CONTAINS"),
+    }
+    data_oracles = {
+        "dd_exact": DT.exact_duplicates(),
+        "dd_ngram_jaccard": DT.ngram_jaccard_pairs(0.6),
+        "dd_minhash_sigs": DT.minhash_signatures_flat(),
+        "dd_minhash_lsh": DT.minhash_lsh_pairs(0.6),
+        "dd_simhash": DT.simhash(),
+        "dd_simhash_pairs": DT.simhash_pairs(3),
+        "sim_cosine_pairs": DT.cosine_pairs(0.3),
+        "sim_ann_topk": DT.ann_topk([0, 1, 2, 3, 4], 5),
+        "sim_lsh_pairs": None,  # rows-only (LSH verify path exercises pandas-free plan)
+        "tx_lang_id": DT.lang_id(),
+        "tx_quality": DT.quality_score(),
+        "tx_token_count": DT.token_count(),
+        "tx_fingerprint": DT.fingerprint(),
+        "mm_media_features": DT.media_features(),
+    }
+    # sim_lsh_pairs IS oracle-expressible too — same verified-pairs
+    # semantics as the signatures; build it from the signature CTE.
+    sig_sql = DT.lsh_signatures()
+    data_oracles["sim_lsh_pairs"] = f"""
+WITH s AS ({sig_sql}),
+n AS ({DT._NORMED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round(list_dot_product(na.vec, nb.vec), 4) AS cos
+FROM cand c JOIN n na ON na.vec_id = c.vec_a JOIN n nb ON nb.vec_id = c.vec_b
+WHERE round(list_dot_product(na.vec, nb.vec), 4) >= 0.25"""
 
     return {
+        **qs_oracles,
+        **data_oracles,
         "kg_transcripts": q("SELECT conv_id, turn_idx, role, text, tool FROM transcripts"),
         "kg_mentions": q("SELECT conv_id, turn_idx, surface FROM mentions"),
         "kg_resolved": q("SELECT conv_id, turn_idx, surface, entity_id, score FROM resolved"),

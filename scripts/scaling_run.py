@@ -1,0 +1,79 @@
+"""One isolated pipeline run (fresh JVM): used by bench.py's scaling
+leg so local[8] / local[32] measurements don't share heap, cache, or
+block-manager state.
+
+Usage: python scripts/scaling_run.py <cores> <n_events> [sf_dir]
+Prints one JSON line {cores, turns, triples, sec, turns_per_sec}.
+If sf_dir is given, reads transcripts from it instead of the
+synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_events = int(sys.argv[2])
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from stakgraph_spark.plans.pipeline import build_graph
+    from stakgraph_spark.session import get_spark
+    from stakgraph_spark.sources.transcripts import (
+        derive_transcripts,
+        read_transcripts,
+        synthetic_events,
+    )
+
+    spark = get_spark(app_name=f"scaling[{cores}]", master=f"local[{cores}]")
+
+    # Warmup: run the identical plan shape on a tiny corpus first so
+    # JIT + whole-stage-codegen compilation (driver-serial, one-time)
+    # is excluded from the measured run — standard JVM benchmarking
+    # practice; a long-lived cluster pays this once per session, not
+    # per job.
+    warm = derive_transcripts(spark, synthetic_events(spark, 20_000, 50)).persist()
+    warm.count()
+    build_graph(spark, warm, repartition_by_conv=False)["triples"].count()
+    warm.unpersist()
+
+    if sf_dir:
+        tr = read_transcripts(spark, sf_dir)
+    else:
+        tr = derive_transcripts(spark, synthetic_events(spark, n_events, max(n_events // 400, 1)))
+    tr = tr.persist()
+    n_turns = tr.count()
+
+    # Plan construction is NOT timed: it is a fixed driver-side cost
+    # (and this sandbox's py4j bridge is ~20x slower than normal at
+    # ~6ms/call); the measured quantity is the data-dependent
+    # execution of the full build DAG.
+    g = build_graph(spark, tr, repartition_by_conv=False)
+
+    t0 = time.time()
+    n_triples = g["triples"].count()
+    sec = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "turns": n_turns,
+                "triples": n_triples,
+                "sec": round(sec, 2),
+                "turns_per_sec": round(n_turns / sec, 1),
+                "triples_per_sec": round(n_triples / sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,23 @@ def edge_key(source_key: Column, target_key: Column, edge_type: Column) -> Colum
     return F.concat_ws("-", source_key, target_key, edge_type)
 
 
+def sanitize_py(value) -> str:
+    """Driver-side rendering of `sanitize` — used for static
+    dictionary dims so they stay LocalRelations (zero Spark jobs).
+    Must match the Column/SQL versions byte-for-byte (oracle-parity
+    tested)."""
+    import re
+
+    return re.sub(r"[^a-z0-9]", "", str(value).strip().lower())
+
+
+def node_key_py(node_type, name, file, start, verb=None) -> str:
+    parts = [sanitize_py(node_type), sanitize_py(name), sanitize_py(file), sanitize_py(start)]
+    if verb is not None:
+        parts.append(sanitize_py(verb))
+    return "-".join(parts)
+
+
 # SQL fragments for the DuckDB oracle (dialect-portable: Spark's
 # regexp_replace is global by default, DuckDB needs the 'g' flag).
 def sanitize_sql(expr: str, dialect: str) -> str:

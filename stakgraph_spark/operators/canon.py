@@ -3,21 +3,24 @@
 The reference canonicalizes by exact node_key MERGE
 (neo4j_utils.rs:79-86); we additionally collapse same-as alias pairs
 into canonical components before materialization (north-star
-requirement). Implemented as iterative hash-join min-label
-propagation — the standard large-scale CC algorithm — rather than a
-driver-side union-find, because at 10^9-edge alias graphs the label
-table itself is distributed:
+requirement): canon_id = min entity_id reachable in the undirected
+same-as graph.
 
-  labels(i) <- min(labels(i), min over neighbors j of labels(j))
-  repeat until fixpoint (iterations ~ graph diameter).
+Size-adaptive execution — the same rule Spark applies to joins
+(broadcast vs shuffle):
 
-Each round is one shuffle join on entity_id; `localCheckpoint` cuts
-lineage every round so plans don't grow; convergence is detected
-with a cheap changed-count aggregate. Hot components (a celebrity
-entity with millions of aliases) are handled by the min-aggregate
-itself being a two-phase (partial, then final) aggregation — Spark
-does map-side combine for min() automatically, so a hot key
-contributes one partial row per partition, not one row per edge.
+* same-as graph fits on the driver (< `driver_threshold` edges):
+  collect + union-find, then return a literal mapping DataFrame.
+  A 28-row dictionary must not pay 20 shuffle rounds of scheduling
+  overhead; at local[32] the iterative path costs ~25s of pure
+  task-launch latency for zero data.
+* larger: distributed iterative hash-join min-label propagation —
+  the standard large-scale CC algorithm (labels(i) <- min over
+  neighbors until fixpoint, iterations ~ diameter). Each round is
+  one shuffle join on entity_id; `localCheckpoint` cuts lineage per
+  round; map-side combine on min() keeps hot components (a celebrity
+  entity with millions of aliases) from skewing the shuffle — a hot
+  key contributes one partial row per partition, not one per edge.
 """
 
 from __future__ import annotations
@@ -26,12 +29,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def canonical_map(ids: DataFrame, same_as: DataFrame, max_iter: int = 20) -> DataFrame:
-    """ids(entity_id) x same_as(a, b) -> (entity_id, canon_id).
+def canonical_map(
+    ids: DataFrame,
+    same_as: DataFrame,
+    max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """ids(entity_id) x same_as(a, b) -> (entity_id, canon_id)."""
+    n_edges = same_as.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(ids, same_as)
+    return _label_propagation(ids, same_as, max_iter)
 
-    canon_id = min entity_id reachable in the undirected same-as
-    graph; identity for singletons.
-    """
+
+def _driver_union_find(ids: DataFrame, same_as: DataFrame) -> DataFrame:
+    spark = ids.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in [(r[0], r[1]) for r in same_as.collect()]:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min so the representative is already the min label
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    mapping = spark.createDataFrame(
+        [(int(i[0]), find(int(i[0]))) for i in ids.collect()],
+        "entity_id INT, canon_id INT",
+    )
+    return mapping
+
+
+def _label_propagation(ids: DataFrame, same_as: DataFrame, max_iter: int) -> DataFrame:
     sym = same_as.select("a", "b").unionByName(
         same_as.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

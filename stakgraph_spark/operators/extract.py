@@ -31,16 +31,23 @@ TESTDEF_RE = r"defines test_([0-9]+)"
 NUMSEG_RE = r"/[0-9]+"
 
 
+def extract_mentions_raw(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, surface), one row per occurrence —
+    shuffle-free (scan + generate only). Consumers that need
+    per-turn dedup get it from their own aggregation (the link
+    stage's best-candidate group-by absorbs duplicates), so the
+    pipeline avoids a dedicated distinct shuffle of the widest
+    intermediate."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), 1)).alias("surface"),
+    )
+
+
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """-> (conv_id, turn_idx, surface): distinct '@alias' mentions."""
-    return (
-        transcripts.select(
-            "conv_id",
-            "turn_idx",
-            F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), 1)).alias("surface"),
-        )
-        .distinct()
-    )
+    return extract_mentions_raw(transcripts).distinct()
 
 
 def extract_tool_calls(transcripts: DataFrame) -> DataFrame:

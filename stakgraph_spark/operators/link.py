@@ -73,30 +73,47 @@ def link_mentions(spark: SparkSession, mentions: DataFrame) -> DataFrame:
         "conv_id", "turn_idx", "surface", "entity_id", "is_mock", "n_all", "n_nonmock"
     )
 
+    # Unambiguous same-conv evidence, built from mentions x a
+    # broadcast "unambiguous alias -> entity" dim (NOT from cand —
+    # that would put the candidate subtree on both sides of the later
+    # join and double-compute it within a single action).
+    unamb_dim = F.broadcast(
+        dct.join(stats, "alias")
+        .where((F.col("n_all") == 1) | ((F.col("n_nonmock") == 1) & (F.col("is_mock") == 0)))
+        .select(F.col("alias").alias("u_alias"), F.col("entity_id").alias("u_entity_id"))
+    )
     unamb = (
-        cand.where((F.col("n_all") == 1) | ((F.col("n_nonmock") == 1) & (F.col("is_mock") == 0)))
-        .select("conv_id", "entity_id")
+        mentions.join(unamb_dim, mentions["surface"] == F.col("u_alias"))
+        .select("conv_id", F.col("u_entity_id").alias("entity_id"))
         .distinct()
         .withColumn("in_conv", F.lit(1))
     )
 
-    scored = cand.join(unamb, ["conv_id", "entity_id"], "left").select(
+    scored = cand.join(unamb, ["conv_id", "entity_id"], "left").selectExpr(
         "conv_id",
         "turn_idx",
         "surface",
         "entity_id",
-        F.when(F.col("n_all") == 1, 3)
-        .when((F.col("n_nonmock") == 1) & (F.col("is_mock") == 0), 3)
-        .when(F.col("in_conv").isNotNull(), 2)
-        .otherwise(1)
-        .alias("score"),
+        """CASE WHEN n_all = 1 THEN 3
+                WHEN n_nonmock = 1 AND is_mock = 0 THEN 3
+                WHEN in_conv IS NOT NULL THEN 2
+                ELSE 1 END AS score""",
     )
 
-    w = Window.partitionBy("conv_id", "turn_idx", "surface").orderBy(
-        F.desc("score"), F.asc("entity_id")
-    )
+    # Best candidate = max by (score DESC, entity_id ASC), expressed
+    # as a lexicographic struct-max aggregate instead of a window
+    # row_number: aggregates get map-side partial combine, so the
+    # shuffle carries one row per (mention, partition) instead of
+    # every scored candidate — the difference that matters when a hot
+    # alias has many candidates.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk")
+        scored.groupBy("conv_id", "turn_idx", "surface")
+        .agg(F.expr("max(struct(score, -entity_id AS neg_eid, entity_id AS eid)) AS best"))
+        .selectExpr(
+            "conv_id",
+            "turn_idx",
+            "surface",
+            "best.eid AS entity_id",
+            "best.score AS score",
+        )
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.keys import node_key
+from ..functions.keys import node_key, node_key_sql
 from ..sources import entities as E
 from . import canon as canon_op
 from . import extract as X
@@ -37,16 +37,22 @@ from . import link as L
 REPO_KEY = "repository-corpus-corpus-0"
 
 
-def _conv_key(conv):
-    return node_key(F.lit("File"), conv, F.concat(F.lit("corpus/"), conv), F.lit(0))
+# Key expressions are built as SQL strings (one F.expr bridge call)
+# rather than nested Column ops: the sandbox py4j bridge costs ~6ms
+# per Column call, and node_key expands to ~16 nested calls — across
+# the 8 edge/node families that is seconds of pure driver latency.
+
+def _conv_key_sql(conv: str) -> str:
+    return node_key_sql("'File'", conv, f"'corpus/' || {conv}", "0", "spark")
 
 
-def _turn_key(conv, turn):
-    return node_key(
-        F.lit("Function"),
-        F.concat(F.lit("turn_"), turn.cast("string")),
-        F.concat(F.lit("corpus/"), conv),
+def _turn_key_sql(conv: str, turn: str) -> str:
+    return node_key_sql(
+        "'Function'",
+        f"'turn_' || CAST({turn} AS STRING)",
+        f"'corpus/' || {conv}",
         turn,
+        "spark",
     )
 
 
@@ -70,17 +76,45 @@ def entity_nodes(spark: SparkSession) -> DataFrame:
     """(node_key, node_type, name, file, start, canon_id) for every
     dictionary entity, with its canonical component id.
 
-    The dictionary is static within a session, so the CC result is
-    computed once and collected back to a literal DataFrame (28
-    rows) — the iterative canonical_map operator itself stays fully
-    distributed and is exercised directly by tests/bench.
+    The dictionary is STATIC driver data (Python lists in
+    sources/entities.py), so this is computed entirely on the driver
+    — union-find over SAME_AS plus the node_key recipe — and handed
+    to Spark as one LocalRelation: zero Spark jobs, broadcastable
+    as-is. The distributed canonical_map operator exists for
+    dictionaries that are themselves tables (and is exercised by
+    tests/bench); routing 28 static rows through it costs seconds of
+    task-scheduling per session for no data.
     """
     key = id(spark)
     if key in _ENTITY_NODES_CACHE:
         return _ENTITY_NODES_CACHE[key]
-    df = _entity_nodes_uncached(spark)
+
+    from ..functions.keys import node_key_py
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in E.SAME_AS:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    ents = (
+        list(E.ENTITIES)
+        + list(E.TOOLS)
+        + [(i, E.endpoint_name(v, s), "Endpoint") for i, v, s in E.ENDPOINTS]
+    )
+    rows = [
+        (node_key_py(t, n, "entities", i), t, n, "entities", i, find(i))
+        for i, n, t in ents
+    ]
     lit = spark.createDataFrame(
-        df.collect(),
+        rows,
         "node_key STRING, node_type STRING, name STRING, file STRING, start INT, canon_id INT",
     )
     _ENTITY_NODES_CACHE[key] = lit
@@ -108,20 +142,20 @@ def build_nodes(spark: SparkSession, transcripts: DataFrame, ent_nodes: DataFram
     convs = (
         transcripts.select("conv_id")
         .distinct()
-        .select(
-            _conv_key(F.col("conv_id")).alias("node_key"),
-            F.lit("File").alias("node_type"),
-            F.col("conv_id").alias("name"),
-            F.concat(F.lit("corpus/"), F.col("conv_id")).alias("file"),
-            F.lit(0).alias("start"),
+        .selectExpr(
+            f"{_conv_key_sql('conv_id')} AS node_key",
+            "'File' AS node_type",
+            "conv_id AS name",
+            "'corpus/' || conv_id AS file",
+            "0 AS start",
         )
     )
-    turns = transcripts.select(
-        _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("node_key"),
-        F.lit("Function").alias("node_type"),
-        F.concat(F.lit("turn_"), F.col("turn_idx").cast("string")).alias("name"),
-        F.concat(F.lit("corpus/"), F.col("conv_id")).alias("file"),
-        F.col("turn_idx").alias("start"),
+    turns = transcripts.selectExpr(
+        f"{_turn_key_sql('conv_id', 'turn_idx')} AS node_key",
+        "'Function' AS node_type",
+        "'turn_' || CAST(turn_idx AS STRING) AS name",
+        "'corpus/' || conv_id AS file",
+        "turn_idx AS start",
     )
     ents = ent_nodes.select("node_key", "node_type", "name", "file", "start")
     return repo.unionByName(convs).unionByName(turns).unionByName(ents)
@@ -137,30 +171,37 @@ def build_edges(
     contains_repo = (
         transcripts.select("conv_id")
         .distinct()
-        .select(
-            F.lit("CONTAINS").alias("edge_type"),
-            F.lit(REPO_KEY).alias("source_key"),
-            _conv_key(F.col("conv_id")).alias("target_key"),
+        .selectExpr(
+            "'CONTAINS' AS edge_type",
+            f"'{REPO_KEY}' AS source_key",
+            f"{_conv_key_sql('conv_id')} AS target_key",
         )
     )
-    contains_turn = transcripts.select(
-        F.lit("CONTAINS").alias("edge_type"),
-        _conv_key(F.col("conv_id")).alias("source_key"),
-        _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("target_key"),
+    contains_turn = transcripts.selectExpr(
+        "'CONTAINS' AS edge_type",
+        f"{_conv_key_sql('conv_id')} AS source_key",
+        f"{_turn_key_sql('conv_id', 'turn_idx')} AS target_key",
     )
 
     # USES: resolved mention -> canonical entity node. Two broadcast
-    # hops: entity -> canon_id -> canonical entity's node_key.
+    # hops: entity -> canon_id -> canonical entity's node_key. Dedup
+    # happens HERE on the narrow (conv_id, turn_idx, canon_key)
+    # columns — a distinct whose ClusteredDistribution is satisfied
+    # by the conv_id hash partitioning the transcripts already carry,
+    # i.e. map-side only, no shuffle — and BEFORE the wide node_key
+    # strings are materialized.
     canon_key = F.broadcast(
         en.select(F.col("eid").alias("canon_id"), F.col("node_key").alias("canon_key"))
     )
     uses = (
         resolved.join(en_b, resolved["entity_id"] == en["eid"])
         .join(canon_key, "canon_id")
-        .select(
-            F.lit("USES").alias("edge_type"),
-            _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("source_key"),
-            F.col("canon_key").alias("target_key"),
+        .select("conv_id", "turn_idx", "canon_key")
+        .distinct()
+        .selectExpr(
+            "'USES' AS edge_type",
+            f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
+            "canon_key AS target_key",
         )
     )
 
@@ -169,10 +210,12 @@ def build_edges(
         X.extract_tool_calls(transcripts)
         .join(tools, F.col("toolname") == tools["canonical_name"])
         .join(en_b, F.col("entity_id") == en["eid"])
-        .select(
-            F.lit("CALLS").alias("edge_type"),
-            _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("source_key"),
-            F.col("node_key").alias("target_key"),
+        .select("conv_id", "turn_idx", "node_key")
+        .distinct()
+        .selectExpr(
+            "'CALLS' AS edge_type",
+            f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
+            "node_key AS target_key",
         )
     )
 
@@ -182,11 +225,14 @@ def build_edges(
         eps,
         (requests["verb"] == eps["verb"])
         & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == requests["norm_path"]),
-    )
-    calls_ep = req_matched.join(en_b, F.col("entity_id") == en["eid"]).select(
-        F.lit("CALLS").alias("edge_type"),
-        _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("source_key"),
-        F.col("node_key").alias("target_key"),
+    ).join(en_b, F.col("entity_id") == en["eid"])
+    # consumed by both calls_ep and handler: cache so the extraction
+    # scan runs once per action (MEMORY_AND_DISK default).
+    req_matched = req_matched.persist()
+    calls_ep = req_matched.select("conv_id", "turn_idx", "node_key").distinct().selectExpr(
+        "'CALLS' AS edge_type",
+        f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
+        "node_key AS target_key",
     )
 
     # shared-test-id link: referencing turn -> globally-first defining
@@ -201,43 +247,49 @@ def build_edges(
     calls_test = (
         X.extract_test_refs(transcripts)
         .join(F.broadcast(first_def), "tid")
-        .select(
-            F.lit("CALLS").alias("edge_type"),
-            _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("source_key"),
-            _turn_key(F.col("d_conv"), F.col("d_turn")).alias("target_key"),
+        .select("conv_id", "turn_idx", "d_conv", "d_turn")
+        .distinct()
+        .selectExpr(
+            "'CALLS' AS edge_type",
+            f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
+            f"{_turn_key_sql('d_conv', 'd_turn')} AS target_key",
         )
     )
 
-    # HANDLER: endpoint -> globally-first referencing turn.
-    w_req = Window.partitionBy("verb", "norm_path").orderBy("conv_id", "turn_idx")
-    first_req = (
-        requests.withColumn("rk", F.row_number().over(w_req)).where(F.col("rk") == 1).drop("rk")
-    )
+    # HANDLER: endpoint -> globally-first referencing turn. Derived
+    # from req_matched (match is 1:1 per request row) so the requests
+    # subtree appears exactly once in the final plan.
+    w_req = Window.partitionBy("entity_id").orderBy("conv_id", "turn_idx")
     handler = (
-        first_req.join(
-            eps,
-            (first_req["verb"] == eps["verb"])
-            & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == first_req["norm_path"]),
-        )
-        .join(en_b, F.col("entity_id") == en["eid"])
-        .select(
-            F.lit("HANDLER").alias("edge_type"),
-            F.col("node_key").alias("source_key"),
-            _turn_key(F.col("conv_id"), F.col("turn_idx")).alias("target_key"),
+        req_matched.withColumn("rk", F.row_number().over(w_req))
+        .where(F.col("rk") == 1)
+        .selectExpr(
+            "'HANDLER' AS edge_type",
+            "node_key AS source_key",
+            f"{_turn_key_sql('conv_id', 'turn_idx')} AS target_key",
         )
     )
 
     of_edges = (
         ent_nodes.where(F.col("canon_id") != F.col("start"))
         .join(canon_key, "canon_id")
-        .select(
-            F.lit("OF").alias("edge_type"),
-            F.col("node_key").alias("source_key"),
-            F.col("canon_key").alias("target_key"),
+        .selectExpr(
+            "'OF' AS edge_type",
+            "node_key AS source_key",
+            "canon_key AS target_key",
         )
     )
 
-    all_edges = (
+    # Edge dedup (reference identity src-dst-type, array_graph.rs:
+    # 775-781) is done PER FAMILY on narrow conv_id-prefixed columns
+    # above — map-side only under the conv_id partitioning, before
+    # wide key strings exist. Families cannot collide across the
+    # union (CONTAINS/OF/HANDLER are unique by construction; the
+    # three CALLS families target disjoint key spaces: Library,
+    # Endpoint, and turn nodes), so no global dropDuplicates — at
+    # 10^12 turns that global shuffle of every edge was the single
+    # largest cost of the build.
+    return (
         contains_repo.unionByName(contains_turn)
         .unionByName(uses)
         .unionByName(calls_tool)
@@ -246,7 +298,6 @@ def build_edges(
         .unionByName(handler)
         .unionByName(of_edges)
     )
-    return all_edges.dropDuplicates(["edge_type", "source_key", "target_key"])
 
 
 def triples(edges: DataFrame) -> DataFrame:

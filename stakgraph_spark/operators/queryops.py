@@ -1,0 +1,269 @@
+"""Graph query surface — the read side.
+
+Covers the reference's projection/filter predicates
+(ast/src/lang/graphs/graph.rs:39-154, SURVEY.md §2.3) and its
+MCP/REST query operators (mcp/src/graph/queries.ts, SURVEY.md
+§2.12): point lookups, substring/suffix predicates, edge-type
+projections, counts, existence, latest-N-per-label windows,
+pagination, fulltext-ish search, coverage stats, depth-bounded
+subtree expansion (apoc.path.expandConfig analog, queries.ts:328-458)
+and shortest path (queries.ts:519-548).
+
+All are DataFrame plans over the materialized nodes/edges tables.
+Recursive pieces (BFS, shortest path) are bounded driver loops of
+hash joins — Catalyst has no recursion; each frontier hop is one
+equi-join on a key that is bucketable at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Projections / predicates (graph.rs lookups)
+# ---------------------------------------------------------------------------
+
+def find_nodes_by_type(nodes: DataFrame, node_type: str) -> DataFrame:
+    """graph.rs:96 find_nodes_by_type."""
+    return nodes.where(F.col("node_type") == node_type)
+
+
+def find_nodes_by_name(nodes: DataFrame, node_type: str, name: str) -> DataFrame:
+    """graph.rs:41 find_nodes_by_name (BTree prefix-scan analog)."""
+    return nodes.where((F.col("node_type") == node_type) & (F.col("name") == name))
+
+
+def find_nodes_by_name_contains(nodes: DataFrame, node_type: str, fragment: str) -> DataFrame:
+    """graph.rs:106-111 find_nodes_by_name_contains."""
+    return nodes.where((F.col("node_type") == node_type) & F.col("name").contains(fragment))
+
+
+def find_nodes_by_file_ends_with(nodes: DataFrame, node_type: str, suffix: str) -> DataFrame:
+    """graph.rs:124-140 find_nodes_by_file_ends_with."""
+    return nodes.where((F.col("node_type") == node_type) & F.col("file").endswith(suffix))
+
+
+def find_node_in_range(nodes: DataFrame, file: str, row: int) -> DataFrame:
+    """graph.rs:142-146 find_node_in_range: file=f AND start<=row
+    (turn nodes carry start=turn_idx; end==start here)."""
+    return nodes.where((F.col("file") == file) & (F.col("start") <= row))
+
+
+def find_node_at(nodes: DataFrame, node_type: str, file: str, row: int) -> DataFrame:
+    """graph.rs:148-152 find_node_at."""
+    return nodes.where(
+        (F.col("node_type") == node_type) & (F.col("file") == file) & (F.col("start") == row)
+    )
+
+
+def find_nodes_with_edge_type(nodes: DataFrame, edges: DataFrame, edge_type: str) -> DataFrame:
+    """graph.rs:97-102: edges of a type joined back to both endpoint
+    nodes -> (source_name, source_type, target_name, target_type)."""
+    e = edges.where(F.col("edge_type") == edge_type)
+    src = nodes.select(
+        F.col("node_key").alias("source_key"),
+        F.col("name").alias("source_name"),
+        F.col("node_type").alias("source_type"),
+    )
+    dst = nodes.select(
+        F.col("node_key").alias("target_key"),
+        F.col("name").alias("target_name"),
+        F.col("node_type").alias("target_type"),
+    )
+    return (
+        e.join(src, "source_key")
+        .join(dst, "target_key")
+        .select("source_key", "source_name", "source_type", "target_key", "target_name", "target_type")
+    )
+
+
+def count_edges_of_type(edges: DataFrame) -> DataFrame:
+    """array_graph.rs:719-727."""
+    return edges.groupBy("edge_type").agg(F.count("*").alias("n"))
+
+
+def has_edge(edges: DataFrame, source_key: str, target_key: str, edge_type: str) -> bool:
+    """array_graph.rs:736-746 — existence via limit(1)."""
+    return (
+        edges.where(
+            (F.col("source_key") == source_key)
+            & (F.col("target_key") == target_key)
+            & (F.col("edge_type") == edge_type)
+        ).limit(1).count()
+        > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / pagination
+# ---------------------------------------------------------------------------
+
+def latest_per_type(nodes: DataFrame, limit_per_type: int) -> DataFrame:
+    """queries.ts:189-203 'latest N per label': row_number over
+    (node_type) ordered by (start DESC, node_key) — deterministic
+    tie-break by key, not insertion order."""
+    w = Window.partitionBy("node_type").orderBy(F.desc("start"), F.asc("node_key"))
+    return (
+        nodes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= limit_per_type)
+        .drop("rk")
+    )
+
+
+def paginate(df: DataFrame, order_cols: list[str], skip: int, limit: int) -> DataFrame:
+    """queries.ts:55-61 SKIP/LIMIT as a row_number window."""
+    w = Window.orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") > skip) & (F.col("rk") <= skip + limit))
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search (fulltext analog, queries.ts:266-306)
+# ---------------------------------------------------------------------------
+
+def search_nodes(nodes: DataFrame, query: str, limit: int = 25, skip_tests: bool = True) -> DataFrame:
+    """Tokenized term-match scoring over node names: score = number
+    of query terms contained in lower(name); ties broken by node_key
+    for determinism. skip_tests mirrors the reference's default
+    exclusion of test node types (queries.ts:32-51)."""
+    terms = [t for t in query.lower().split() if t]
+    score = None
+    for t in terms:
+        hit = F.when(F.lower(F.col("name")).contains(t), 1).otherwise(0)
+        score = hit if score is None else score + hit
+    out = nodes.withColumn("score", score)
+    if skip_tests:
+        out = out.where(~F.col("node_type").isin("UnitTest", "IntegrationTest", "E2etest"))
+    return (
+        out.where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("node_key"))
+        .limit(limit)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coverage (graph_ops.rs:234-308, 517-542)
+# ---------------------------------------------------------------------------
+
+def coverage_stats(nodes: DataFrame, edges: DataFrame, target_type: str = "Class") -> DataFrame:
+    """covered = target nodes referenced by >=1 USES/CALLS edge;
+    stat = (total, covered, percent). countDistinct is exact here;
+    approx_count_distinct is the stated fallback at 10^12 scale."""
+    targets = nodes.where(F.col("node_type") == target_type).select("node_key")
+    covered = (
+        edges.where(F.col("edge_type").isin("USES", "CALLS"))
+        .select(F.col("target_key").alias("node_key"))
+        .join(targets, "node_key", "left_semi")
+        .distinct()
+    )
+    total = targets.agg(F.count("*").alias("total"))
+    cov = covered.agg(F.count("*").alias("covered"))
+    return total.crossJoin(cov).select(
+        F.lit(target_type).alias("target_type"),
+        F.col("total").cast("bigint").alias("total"),
+        F.col("covered").cast("bigint").alias("covered"),
+        F.round(F.col("covered") * 100.0 / F.col("total"), 2).alias("percent"),
+    )
+
+
+def list_uncovered(nodes: DataFrame, edges: DataFrame, target_type: str = "Class") -> DataFrame:
+    """graph_ops.rs:517-542 — left-anti join, ordered for pagination."""
+    targets = nodes.where(F.col("node_type") == target_type)
+    referenced = (
+        edges.where(F.col("edge_type").isin("USES", "CALLS"))
+        .select(F.col("target_key").alias("node_key"))
+        .distinct()
+    )
+    return targets.join(referenced, "node_key", "left_anti").orderBy("node_key")
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph traversal (no Catalyst recursion)
+# ---------------------------------------------------------------------------
+
+TRAVERSAL_EDGE_TYPES = ("RENDERS", "CALLS", "CONTAINS", "HANDLER", "OPERAND")
+
+
+def subtree(
+    edges: DataFrame,
+    root_keys: DataFrame,
+    depth: int,
+    edge_types: tuple[str, ...] = TRAVERSAL_EDGE_TYPES,
+    direction: str = "down",
+) -> DataFrame:
+    """Depth-bounded BFS expansion (queries.ts:328-458
+    apoc.path.expandConfig analog): iterative frontier joins with a
+    visited-set anti-join; returns (node_key, depth) with the MINIMUM
+    depth each node is first reached at.
+
+    root_keys: DataFrame with column node_key.
+    Each hop is one equi-join on the frontier key + one aggregate;
+    localCheckpoint per hop cuts lineage so depth-d plans stay O(1).
+    """
+    e = edges.where(F.col("edge_type").isin(*edge_types))
+    if direction == "down":
+        e = e.select(F.col("source_key").alias("src"), F.col("target_key").alias("dst"))
+    else:
+        e = e.select(F.col("target_key").alias("src"), F.col("source_key").alias("dst"))
+
+    visited = root_keys.select("node_key").distinct().withColumn("depth", F.lit(0))
+    frontier = visited
+    for d in range(1, depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node_key").alias("src")), "src")
+            .select(F.col("dst").alias("node_key"))
+            .distinct()
+            .join(visited.select("node_key"), "node_key", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def shortest_path(
+    edges: DataFrame, from_key: str, to_key: str, max_depth: int = 10,
+    edge_types: tuple[str, ...] | None = None,
+) -> list[str] | None:
+    """queries.ts:519-548 — BFS with parent tracking, then path
+    reconstruction on the driver. Returns the node_key path or None."""
+    e = edges
+    if edge_types:
+        e = e.where(F.col("edge_type").isin(*edge_types))
+    # undirected expansion, as apoc shortestPath treats relationships
+    sym = e.select(F.col("source_key").alias("src"), F.col("target_key").alias("dst")).unionByName(
+        e.select(F.col("target_key").alias("src"), F.col("source_key").alias("dst"))
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(from_key, None)], "node_key STRING, parent STRING")
+    frontier = visited
+    parents: dict[str, str | None] = {from_key: None}
+    for _ in range(max_depth):
+        nxt = (
+            sym.join(frontier.select(F.col("node_key").alias("src")), "src")
+            .groupBy(F.col("dst").alias("node_key"))
+            .agg(F.min("src").alias("parent"))  # deterministic parent pick
+            .join(visited.select("node_key"), "node_key", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rows = nxt.collect() if nxt.limit(1).count() > 0 else []
+        if not rows:
+            return None
+        for r in rows:
+            parents[r["node_key"]] = r["parent"]
+        if to_key in parents:
+            path = [to_key]
+            while path[-1] != from_key:
+                path.append(parents[path[-1]])
+            return list(reversed(path))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return None

@@ -1,0 +1,117 @@
+"""Similarity search over the `embeddings` table
+(vec_id, embedding array<float>, label).
+
+Mirrors the reference's vector search (cosine >= 0.7 threshold,
+mcp/src/graph/queries.ts:308-326; embeddings 384-d in
+ast/src/lang/embedding.rs — here the driver tables carry 64-d).
+
+Paths:
+  * brute-force: normalized dot product via JVM higher-order
+    functions (zip_with + aggregate) — the exactness baseline.
+  * LSH-bucketed (random-hyperplane signs): the scale path — only
+    vectors sharing a signature bucket are compared. Hyperplanes are
+    deterministic (seedless hash of (dim, plane)), so output is
+    reproducible and oracle-checkable.
+
+All arithmetic is cast to double FIRST and summed in index order so
+DuckDB reproduces results bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8  # LSH signature bits
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+
+def normalized(embeddings: DataFrame) -> DataFrame:
+    """-> (vec_id, label, vec array<double> L2-normalized). At scale
+    this is materialized once (write-back), making every query a
+    plain dot product."""
+    norm = NORM.format(a="embedding")
+    return embeddings.selectExpr(
+        "vec_id",
+        "label",
+        f"transform(embedding, v -> CAST(v AS DOUBLE) / ({norm})) AS vec",
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Brute-force all-pairs cosine >= threshold (the correctness
+    baseline; O(n^2) — cap inputs or use lsh_cosine_pairs at scale).
+    Output: (vec_a, vec_b, cos), vec_a < vec_b, cos rounded to 4dp."""
+    n = normalized(embeddings)
+    a = n.selectExpr("vec_id AS vec_a", "vec AS va")
+    b = n.selectExpr("vec_id AS vec_b", "vec AS vb")
+    dot = DOT.format(a="va", b="vb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .selectExpr("vec_a", "vec_b", f"round({dot}, 4) AS cos")
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Brute-force top-k neighbors for the given query vec_ids:
+    (query_id, vec_id, cos, rk). Deterministic: ordered by
+    (cos DESC, vec_id ASC). The query side is a broadcast dim —
+    at scale this is the 'small query batch x huge corpus' shape."""
+    n = normalized(embeddings)
+    ids = ", ".join(str(i) for i in query_ids)
+    q = n.where(F.expr(f"vec_id IN ({ids})")).selectExpr("vec_id AS query_id", "vec AS qv")
+    dot = DOT.format(a="qv", b="vec")
+    scored = (
+        F.broadcast(q).crossJoin(n)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .selectExpr("query_id", "vec_id", f"round({dot}, 4) AS cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _plane_expr(p: int) -> str:
+    """Deterministic hyperplane p: component d = h32('p_d') scaled to
+    [-1, 1). Portable: the same md5-prefix hash DuckDB computes."""
+    return (
+        f"transform(sequence(0, {DIM - 1}), d -> "
+        f"(CAST(conv(substring(md5(concat('plane_{p}_', CAST(d AS STRING))),1,8),16,10) AS BIGINT) % 2000001 - 1000000) / 1000000.0d)"
+    )
+
+
+def lsh_signatures(embeddings: DataFrame) -> DataFrame:
+    """-> (vec_id, label, sig int): random-hyperplane sign bits
+    packed into an int. Vectors with equal signatures are near in
+    angle with high probability."""
+    n = normalized(embeddings)
+    bits = " + ".join(
+        f"(CASE WHEN {DOT.format(a='vec', b=_plane_expr(p))} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return n.selectExpr("vec_id", "label", f"CAST({bits} AS INT) AS sig")
+
+
+def lsh_cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Scale path: bucket by LSH signature, compare only within
+    buckets, verify with exact cosine. Recall < 1 by design (the
+    LSH trade) — the oracle checks THIS operator's own semantics
+    (bucketed pairs), not brute-force equivalence."""
+    sig = lsh_signatures(embeddings)
+    n = normalized(embeddings).select("vec_id", "vec")
+    a = sig.selectExpr("vec_id AS vec_a", "sig")
+    b = sig.selectExpr("vec_id AS vec_b", "sig")
+    cand = a.join(b, "sig").where(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+    dot = DOT.format(a="va", b="vb")
+    return (
+        cand.join(n.selectExpr("vec_id AS vec_a", "vec AS va"), "vec_a")
+        .join(n.selectExpr("vec_id AS vec_b", "vec AS vb"), "vec_b")
+        .selectExpr("vec_a", "vec_b", f"round({dot}, 4) AS cos")
+        .where(F.col("cos") >= threshold)
+    )

@@ -27,7 +27,7 @@ from ..sources import transcripts as TS
 def build_graph(
     spark: SparkSession,
     transcripts: DataFrame,
-    repartition_by_conv: bool = True,
+    repartition_by_conv: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full KG construction; returns every stage's DataFrame.
 
@@ -35,12 +35,25 @@ def build_graph(
     on the pieces they need; Spark computes shared ancestors once per
     action tree (use .persist() on `transcripts` for multi-action
     workloads).
+
+    repartition_by_conv: transcripts from derive_transcripts already
+    carry HashPartitioning(conv_id) (the derivation window partitions
+    by conv_id precisely so the whole downstream build — every
+    distinct/group-by/join keyed on a conv_id-prefixed set — runs
+    WITHOUT further shuffles). Set True only for inputs read from a
+    source that is not already bucketed/partitioned by conv_id.
     """
     if repartition_by_conv:
         transcripts = transcripts.repartition("conv_id")
 
-    mentions = X.extract_mentions(transcripts)
-    resolved = L.link_mentions(spark, mentions)
+    # The link stage consumes RAW (per-occurrence) mentions: its
+    # best-candidate group-by dedups per (conv, turn, surface), so
+    # the distinct shuffle of the widest intermediate is skipped
+    # entirely. The distinct `mentions` output below is for the
+    # query surface, not the hot path.
+    mentions_raw = X.extract_mentions_raw(transcripts)
+    mentions = mentions_raw.distinct()
+    resolved = L.link_mentions(spark, mentions_raw)
     ent_nodes = M.entity_nodes(spark)
     nodes = M.build_nodes(spark, transcripts, ent_nodes)
     edges = M.build_edges(spark, transcripts, resolved, ent_nodes)

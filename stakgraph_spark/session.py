@@ -15,6 +15,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "stakgraph_spark",
     master: str | None = None,
@@ -54,6 +66,9 @@ def get_spark(
         # broadcast by hint, not by accident.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Shuffle/spill dir: fast local storage (tmpfs here; NVMe on a
+        # real cluster). Overridable via SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE", "/tmp/sg_warehouse"))
     )

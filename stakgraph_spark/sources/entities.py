@@ -108,6 +108,11 @@ def endpoint_name(verb: str, seg: str) -> str:
     return f"{verb} /api/{seg}/:param"
 
 
+# Dictionary dims stay as plain createDataFrame LocalRelations —
+# Catalyst keeps them as LocalTableScan (no tasks) and broadcasts
+# them directly. (Do NOT coalesce(1) them: that blocks the local
+# fast path and schedules real tasks, ~4.5s each at local[32].)
+
 def entities_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(ENTITIES, "entity_id INT, canonical_name STRING, entity_type STRING")
 

@@ -1,0 +1,262 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators
+(dedup / similarity / text-stats / multimodal metadata) over the
+pre-registered `documents` and `embeddings` views.
+
+Each string mirrors the corresponding Spark operator exactly,
+including the portable 32-bit hash
+(duckdb: CAST('0x' || substring(md5(s),1,8) AS BIGINT)), double-cast
+float math in identical fold order, and 4-dp rounding.
+
+Dialect notes baked in: DuckDB regexp_replace needs the 'g' flag;
+DuckDB string literals do NOT process backslash escapes (patterns use
+single backslashes here, doubled on the Spark side); xor()/len()/
+list_transform replace ^/size/transform.
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup as DD
+from ..operators import textstats as TS
+
+H32 = "CAST('0x' || substring(md5({s}),1,8) AS BIGINT)"
+
+
+def _shingles(n: int = DD.SHINGLE_N) -> str:
+    return f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(w) - {n - 1}, 1)),
+                i -> concat_ws(' ', w[i + 1], w[i + 2], w[i + 3]))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)
+) WHERE shingle <> ''"""
+
+
+def exact_duplicates() -> str:
+    return """
+SELECT md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS STRING), ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+def shingles() -> str:
+    return _shingles()
+
+
+def _sizes() -> str:
+    return f"SELECT doc_id, count(*) AS sz FROM ({_shingles()}) GROUP BY doc_id"
+
+
+def ngram_jaccard_pairs(threshold: float = 0.6) -> str:
+    return f"""
+WITH sh AS ({_shingles()}), sizes AS ({_sizes()}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((inter / (sa.sz + sb.sz - inter + 0.0)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((inter / (sa.sz + sb.sz - inter + 0.0)) * 10000.0 + 0.5) / 10000.0 >= {threshold}"""
+
+
+def minhash_signatures_flat() -> str:
+    """(doc_id, m0..m{K-1}) — flat columns (arrays render differently
+    across engines; the flat form hash-compares cleanly)."""
+    h = H32.format(s="shingle")
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {DD.MH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(zip(DD.MH_A, DD.MH_B))
+    )
+    return f"SELECT doc_id, {mins} FROM ({_shingles()}) GROUP BY doc_id"
+
+
+def minhash_lsh_pairs(threshold: float = 0.6) -> str:
+    h = H32.format(s="shingle")
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {DD.MH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(zip(DD.MH_A, DD.MH_B))
+    )
+    band_selects = []
+    for b in range(DD.LSH_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(m{b * DD.LSH_ROWS + r} AS STRING)" for r in range(DD.LSH_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS ({_shingles()}), sizes AS ({_sizes()}),
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       floor((inter / (sa.sz + sb.sz - inter + 0.0)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE floor((inter / (sa.sz + sb.sz - inter + 0.0)) * 10000.0 + 0.5) / 10000.0 >= {threshold}"""
+
+
+def simhash() -> str:
+    h = H32.format(s="tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {h} AS th FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums"""
+
+
+def simhash_pairs(max_hamming: int = 3) -> str:
+    return f"""
+WITH sh AS ({simhash().strip()}),
+bands AS (
+  SELECT doc_id, simhash, b AS band, CAST((simhash >> (b * 8)) % 256 AS INT) AS bkey
+  FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# similarity (embeddings)
+# ---------------------------------------------------------------------------
+
+_NORMED = """
+SELECT vec_id, label,
+       list_transform(CAST(embedding AS DOUBLE[]), v -> v / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS vec
+FROM embeddings"""
+
+
+def cosine_pairs(threshold: float = 0.9) -> str:
+    return f"""
+WITH n AS ({_NORMED})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.vec, b.vec), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec), 4) >= {threshold}"""
+
+
+def ann_topk(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH n AS ({_NORMED}),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM n WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, n.vec_id, round(list_dot_product(q.qv, n.vec), 4) AS cos
+  FROM q JOIN n ON q.query_id <> n.vec_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rk FROM rk WHERE rk <= {k}"""
+
+
+def lsh_signatures() -> str:
+    from ..operators.similarity import DIM, N_PLANES
+
+    def plane(p: int) -> str:
+        h = H32.format(s=f"concat('plane_{p}_', CAST(d AS STRING))")
+        return (
+            f"list_transform(range(0, {DIM}), d -> ({h} % 2000001 - 1000000) / 1000000.0)"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {plane(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"WITH n AS ({_NORMED}) SELECT vec_id, label, CAST({bits} AS INT) AS sig FROM n"
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+def lang_id() -> str:
+    langs = sorted(TS.LANG_STOPWORDS)
+    hit_cols = []
+    for lg in langs:
+        words = ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS[lg])
+        hit_cols.append(
+            f"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([{words}], t))) AS hits_{lg}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN hits_{lg} = best THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents),
+withbest AS (SELECT *, {best} AS best FROM hits)
+SELECT doc_id, {case} AS guessed_lang, best AS best_hits FROM withbest"""
+
+
+def quality_score() -> str:
+    allstops = sorted({w for ws in TS.LANG_STOPWORDS.values() for w in ws})
+    stop_arr = ", ".join(f"'{w}'" for w in allstops)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / (length(text) + 1.0)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         floor((len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([{stop_arr}], t))) / (len(string_split_regex(trim(text), '\\s+')) + 1.0)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+         floor(((length(text) + 0.0) / (len(string_split_regex(trim(text), '\\s+')) + 1.0)) * 10000.0 + 0.5) / 10000.0 AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words, punct_ratio, stop_ratio, mean_word_len,
+       floor((least(n_words / 50.0, 1.0) * 0.5 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25 + least(stop_ratio * 10.0, 1.0) * 0.25) * 10000.0 + 0.5) / 10000.0 AS quality
+FROM base"""
+
+
+def token_count() -> str:
+    return f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TS.BPE_ISH_RE}')) AS bpe_tokens
+FROM documents"""
+
+
+def fingerprint() -> str:
+    h = H32.format(s="regexp_replace(lower(text), '\\s+', ' ', 'g')")
+    return f"SELECT doc_id, {h} AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# multimodal metadata (deterministic stub arithmetic)
+# ---------------------------------------------------------------------------
+
+def media_features() -> str:
+    """Oracle for extract_features' metadata columns (the pandas-UDF
+    decode stub is deterministic arithmetic on payload length)."""
+    return """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN length(text) % 64 + 1 WHEN 1 THEN 0 ELSE length(text) % 64 + 1 END AS INT) AS width,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN length(text) % 48 + 1 WHEN 1 THEN 0 ELSE length(text) % 48 + 1 END AS INT) AS height,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN length(text) % 1000 + 1 ELSE length(text) % 120 + 1 END AS INT) AS n_frames
+FROM documents"""

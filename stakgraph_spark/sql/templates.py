@@ -29,9 +29,16 @@ D = "duckdb"
 
 
 def _ev0_sql() -> str:
+    """Per-event deterministic picks. The turn_idx window partitions
+    by conv_id (not user_id — same grouping, conv_id is a bijection
+    of user_id) so the derived table comes out of its ONE shuffle
+    hash-partitioned by conv_id; every downstream group-by / join /
+    dedup keys on a conv_id-prefixed set and therefore reuses that
+    partitioning shuffle-free (Spark: HashPartitioning(conv_id)
+    satisfies ClusteredDistribution(conv_id, ...))."""
     return f"""
-SELECT event_id, user_id, event_type, ts,
-  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) - 1 AS turn_idx,
+SELECT event_id, user_id, event_type, ts, conv_id,
+  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS INT) - 1 AS turn_idx,
   CASE WHEN event_type IN ('click','view') THEN 'user'
        WHEN event_type = 'signup' THEN 'system'
        WHEN event_type = 'error' THEN 'tool'
@@ -43,12 +50,12 @@ SELECT event_id, user_id, event_type, ts,
   CAST(event_id % 1000 AS INT) AS resid,
   CAST(100 + event_id % 5 AS INT) AS ep_id,
   CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'search' WHEN 1 THEN 'fetch' ELSE 'calc' END AS toolname
-FROM events"""
+FROM (SELECT *, 'conv_' || lpad(CAST(user_id AS STRING), 6, '0') AS conv_id FROM events)"""
 
 
 def _transcripts_sql() -> str:
     return """
-SELECT 'conv_' || lpad(CAST(e.user_id AS STRING), 6, '0') AS conv_id,
+SELECT e.conv_id AS conv_id,
   e.turn_idx AS turn_idx,
   e.role AS role,
   CASE e.role
@@ -83,6 +90,36 @@ def _turn_key(conv: str, turn: str) -> str:
 
 def _ent_key(typ: str, name: str, eid: str) -> str:
     return node_key_sql(typ, name, "'entities'", eid, D)
+
+
+def transcripts_query(
+    events_table: str = "events",
+    aliases_table: str | None = None,
+    endpoints_table: str | None = None,
+) -> str:
+    """The full transcript-derivation SELECT — a PORTABLE SQL subset
+    (no regex, no unnest) that parses identically in Spark SQL and
+    DuckDB. The engine executes this exact string via spark.sql()
+    (sources/transcripts.py), the oracle embeds the same fragments —
+    so the derived input is equal by construction, and the engine
+    pays ONE py4j call instead of hundreds (the sandbox bridge costs
+    ~6ms per Column op; an expression-heavy DataFrame build burns
+    seconds of pure driver latency).
+
+    aliases_table/endpoints_table: when given, the dims are read from
+    those (temp-view) names instead of inline UNION-ALL literal CTEs.
+    Spark's analyzer pays ~100ms per literal UNION branch, so the
+    engine passes views over LocalRelations; the DuckDB oracle keeps
+    the self-contained inline literals.
+    """
+    ev0 = _ev0_sql().replace("FROM events", f"FROM {events_table}")
+    als = aliases_table if aliases_table else f"({E.aliases_cte()})"
+    eps = endpoints_table if endpoints_table else f"({E.endpoints_cte()})"
+    return f"""WITH
+als AS (SELECT * FROM {als}),
+eps AS (SELECT * FROM {eps}),
+ev0 AS ({ev0})
+{_transcripts_sql()}"""
 
 
 def prelude() -> str:
@@ -239,6 +276,20 @@ triples AS (SELECT source_key AS subj, edge_type AS pred, target_key AS obj FROM
 """
 
 
-def q(select: str) -> str:
-    """Compose a full oracle query: prelude + final SELECT."""
-    return prelude() + "\n" + select
+def q(select: str, extra_ctes: str = "") -> str:
+    """Compose a full oracle query: prelude [+ extra CTEs] + SELECT."""
+    return prelude() + extra_ctes + "\n" + select
+
+
+def subtree_sql(root_key: str, depth: int, edge_type: str = "CONTAINS") -> str:
+    """Depth-bounded BFS oracle: recursive walk + min-depth rollup
+    (matches queryops.subtree's first-reach depth)."""
+    extra = f""",
+walk AS (
+  SELECT '{root_key}' AS node_key, 0 AS depth
+  UNION ALL
+  SELECT e.target_key, w.depth + 1
+  FROM walk w JOIN edges e ON e.source_key = w.node_key AND e.edge_type = '{edge_type}'
+  WHERE w.depth < {depth}
+)"""
+    return q("SELECT node_key, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node_key", extra)

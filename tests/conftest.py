@@ -15,17 +15,28 @@ def spark():
     return get_spark(master="local[8]")
 
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 @pytest.fixture()
 def duck():
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    con = _connect(SF_SMALL)
     yield con
     con.close()
 
 
 @pytest.fixture()
 def duck_mid():
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'")
+    con = _connect(SF_MID)
     yield con
     con.close()
