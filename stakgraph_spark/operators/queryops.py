@@ -214,11 +214,14 @@ def subtree(
     visited = root_keys.select("node_key").distinct().withColumn("depth", F.lit(0))
     frontier = visited
     for d in range(1, depth + 1):
+        # frontier/visited are hinted broadcast: python-list-backed
+        # DataFrames carry unknown (8 EiB) stats, and without the hint
+        # the planner would shuffle the EDGE table per hop.
         nxt = (
-            e.join(frontier.select(F.col("node_key").alias("src")), "src")
+            e.join(F.broadcast(frontier.select(F.col("node_key").alias("src"))), "src")
             .select(F.col("dst").alias("node_key"))
             .distinct()
-            .join(visited.select("node_key"), "node_key", "left_anti")
+            .join(F.broadcast(visited.select("node_key")), "node_key", "left_anti")
             .withColumn("depth", F.lit(d))
         )
         nxt = nxt.localCheckpoint(eager=True)
@@ -248,10 +251,10 @@ def shortest_path(
     parents: dict[str, str | None] = {from_key: None}
     for _ in range(max_depth):
         nxt = (
-            sym.join(frontier.select(F.col("node_key").alias("src")), "src")
+            sym.join(F.broadcast(frontier.select(F.col("node_key").alias("src"))), "src")
             .groupBy(F.col("dst").alias("node_key"))
             .agg(F.min("src").alias("parent"))  # deterministic parent pick
-            .join(visited.select("node_key"), "node_key", "left_anti")
+            .join(F.broadcast(visited.select("node_key")), "node_key", "left_anti")
             .localCheckpoint(eager=True)
         )
         rows = nxt.collect() if nxt.limit(1).count() > 0 else []

@@ -108,31 +108,47 @@ def endpoint_name(verb: str, seg: str) -> str:
     return f"{verb} /api/{seg}/:param"
 
 
-# Dictionary dims stay as plain createDataFrame LocalRelations —
-# Catalyst keeps them as LocalTableScan (no tasks) and broadcasts
-# them directly. (Do NOT coalesce(1) them: that blocks the local
-# fast path and schedules real tasks, ~4.5s each at local[32].)
+# Dictionary dims are built as SQL VALUES literals -> Catalyst
+# LocalRelations with REAL size statistics. This matters twice over:
+# (a) `spark.createDataFrame(py_list, schema)` yields an RDD-backed
+#     relation whose stats default to 8 EiB — the planner then
+#     refuses to broadcast the 60-row dim and instead broadcasts or
+#     sort-merges the FACT side;
+# (b) LocalRelations broadcast without scheduling tasks.
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return f"CAST({v} AS INT)"
+
+
+def _values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    vals = ", ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({', '.join(cols)})")
+
 
 def entities_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ENTITIES, "entity_id INT, canonical_name STRING, entity_type STRING")
+    return _values_df(spark, ENTITIES, ["entity_id", "canonical_name", "entity_type"])
 
 
 def aliases_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ALIASES, "entity_id INT, alias_idx INT, alias STRING")
+    return _values_df(spark, ALIASES, ["entity_id", "alias_idx", "alias"])
 
 
 def same_as_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(SAME_AS, "a INT, b INT")
+    return _values_df(spark, SAME_AS, ["a", "b"])
 
 
 def tools_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TOOLS, "entity_id INT, canonical_name STRING, entity_type STRING")
+    return _values_df(spark, TOOLS, ["entity_id", "canonical_name", "entity_type"])
 
 
 def endpoints_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return _values_df(
+        spark,
         [(i, v, s, endpoint_name(v, s)) for i, v, s in ENDPOINTS],
-        "entity_id INT, verb STRING, seg STRING, canonical_name STRING",
+        ["entity_id", "verb", "seg", "canonical_name"],
     )
 
 
