@@ -174,6 +174,39 @@ def _q_subtree(spark, sf_dir):
     return subtree(g["edges"], roots, depth=2, edge_types=("CONTAINS",))
 
 
+# --- set ops / ordered aggs / adjacency windows (SURVEY §2.2/§2.6/§2.8) ---
+
+def _q_conv_rollup(spark, sf_dir):
+    from stakgraph_spark.operators.setops import conv_rollup
+    from stakgraph_spark.sources.transcripts import read_transcripts
+
+    return conv_rollup(read_transcripts(spark, sf_dir), "user")
+
+
+def _q_prev_system(spark, sf_dir):
+    from stakgraph_spark.operators.setops import prev_system_turn
+    from stakgraph_spark.sources.transcripts import read_transcripts
+
+    return prev_system_turn(read_transcripts(spark, sf_dir))
+
+
+def _q_extend_idempotent(spark, sf_dir):
+    from stakgraph_spark.operators.setops import extend_graph
+
+    g = _graph(spark, sf_dir)
+    _, edges = extend_graph(g["nodes"], g["nodes"], g["edges"], g["edges"])
+    return edges
+
+
+def _q_filter_changed(spark, sf_dir):
+    from stakgraph_spark.operators.setops import filter_by_changed
+
+    g = _graph(spark, sf_dir)
+    changed = spark.sql("SELECT 'corpus/conv_000000' AS file")
+    _, kept_edges = filter_by_changed(g["nodes"], g["edges"], changed)
+    return kept_edges
+
+
 # --- training-data pipeline: dedup / similarity / text analysis ---
 
 def _docs(spark, sf_dir):
@@ -297,6 +330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_coverage": _q_coverage,
         "qs_uncovered": _q_uncovered,
         "qs_subtree": _q_subtree,
+        # set ops / ordered aggs / adjacency windows
+        "so_conv_rollup": _q_conv_rollup,
+        "so_prev_system": _q_prev_system,
+        "so_extend_idempotent": _q_extend_idempotent,
+        "so_filter_changed": _q_filter_changed,
         # training-data pipeline: dedup
         "dd_exact": _q_dedup_exact,
         "dd_ngram_jaccard": _q_dedup_jaccard,
@@ -372,6 +410,24 @@ def oracle_sql() -> dict[str, str]:
             " AND e.edge_type IN ('USES','CALLS')) ORDER BY node_key"
         ),
         "qs_subtree": subtree_sql(REPO_KEY, 2, "CONTAINS"),
+        "so_conv_rollup": q(
+            "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS rolled,"
+            " CAST(count(*) AS BIGINT) AS n_turns"
+            " FROM transcripts WHERE role = 'user' GROUP BY conv_id"
+        ),
+        "so_prev_system": q(
+            "SELECT conv_id, turn_idx, role,"
+            " max(CASE WHEN role = 'system' THEN turn_idx END) OVER ("
+            "   PARTITION BY conv_id ORDER BY turn_idx"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_system_idx"
+            " FROM transcripts"
+        ),
+        "so_extend_idempotent": q("SELECT edge_type, source_key, target_key FROM edges"),
+        "so_filter_changed": q(
+            "SELECT DISTINCT e.edge_type, e.source_key, e.target_key FROM edges e"
+            " WHERE e.source_key IN (SELECT node_key FROM nodes WHERE file = 'corpus/conv_000000')"
+            " OR e.target_key IN (SELECT node_key FROM nodes WHERE file = 'corpus/conv_000000')"
+        ),
     }
     data_oracles = {
         "dd_exact": DT.exact_duplicates(),

@@ -1,0 +1,107 @@
+"""Set operations & multi-corpus composition (SURVEY.md §2.8) and
+ordered-aggregation / adjacency windows (§2.2, §2.6).
+
+  extend_graph          multi-repo union with dedup-by-key
+                        (array_graph.rs:84-99; repo.rs:83-94)
+  graph_diff            node/edge key difference — the backend
+                        comparison / P-R harness primitive
+                        (testing/graphs/compare_graphs.rs:50-62)
+  filter_by_changed     keep nodes whose container is in a changed
+                        set; keep edges touching them
+                        (builder/utils.rs:11-19; array_graph.rs:54-82)
+  conv_rollup           ordered per-conversation text rollup — the
+                        combine_import_sections analog
+                        (builder/utils.rs:39-87: sort by start, join
+                        bodies) as an ordered collect_list aggregate
+  prev_system_turn      nearest preceding system turn per turn — the
+                        attach_function_comments adjacency analog
+                        (lang/mod.rs:53-97: nearest comment block
+                        above a function) as a running-max window
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def extend_graph(nodes_a: DataFrame, nodes_b: DataFrame, edges_a: DataFrame, edges_b: DataFrame):
+    """Union two graphs, deduping nodes by node_key and edges by
+    (edge_type, source_key, target_key) — first-graph-wins for node
+    payloads via dropDuplicates on the key (deterministic because
+    payloads for an equal key are equal by construction)."""
+    nodes = nodes_a.unionByName(nodes_b).dropDuplicates(["node_key"])
+    edges = edges_a.unionByName(edges_b).dropDuplicates(
+        ["edge_type", "source_key", "target_key"]
+    )
+    return nodes, edges
+
+
+def graph_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """Symmetric difference of triple sets with a side marker —
+    the compare_graphs / P-R primitive."""
+    cols = ["edge_type", "source_key", "target_key"]
+    only_a = edges_a.select(cols).exceptAll(edges_b.select(cols)).withColumn("side", F.lit("a"))
+    only_b = edges_b.select(cols).exceptAll(edges_a.select(cols)).withColumn("side", F.lit("b"))
+    return only_a.unionByName(only_b)
+
+
+def precision_recall(got: DataFrame, golden: DataFrame) -> tuple[float, float]:
+    """Triple P/R vs a golden set (both (subj, pred, obj))."""
+    cols = ["subj", "pred", "obj"]
+    g, o = got.select(cols).distinct(), golden.select(cols).distinct()
+    tp = g.join(o, cols, "left_semi").count()
+    n_got, n_gold = g.count(), o.count()
+    return (tp / n_got if n_got else 0.0, tp / n_gold if n_gold else 0.0)
+
+
+def filter_by_changed(nodes: DataFrame, edges: DataFrame, changed_files: DataFrame):
+    """create_filtered_graph semantics: keep nodes whose `file` is in
+    the changed set (semi-join); keep edges with either endpoint
+    kept. changed_files: DataFrame[file STRING]."""
+    kept_nodes = nodes.join(F.broadcast(changed_files), "file", "left_semi")
+    keys = kept_nodes.select("node_key")
+    kept_edges = edges.join(
+        F.broadcast(keys.withColumnRenamed("node_key", "source_key")), "source_key", "left_semi"
+    ).unionByName(
+        edges.join(
+            F.broadcast(keys.withColumnRenamed("node_key", "target_key")), "target_key", "left_semi"
+        )
+    ).dropDuplicates(["edge_type", "source_key", "target_key"])
+    return kept_nodes, kept_edges
+
+
+def conv_rollup(transcripts: DataFrame, role: str = "user") -> DataFrame:
+    """Ordered per-conversation rollup of one role's turn texts:
+    sort_array(collect_list(struct(turn_idx, text))) then join with
+    newline — deterministic under parallelism because ordering comes
+    from keys, not arrival order (the reference sorts sections by
+    start before concatenation, builder/utils.rs:44-56)."""
+    return (
+        transcripts.where(F.col("role") == role)
+        .groupBy("conv_id")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(turn_idx, text))),"
+                " s -> s.text), '\\n') AS rolled"
+            ),
+            F.expr("CAST(count(*) AS BIGINT) AS n_turns"),
+        )
+    )
+
+
+def prev_system_turn(transcripts: DataFrame) -> DataFrame:
+    """For every turn, the turn_idx of the nearest PRECEDING system
+    turn in its conversation (null if none) — running conditional max
+    over the conv window."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.max(F.when(F.col("role") == "system", F.col("turn_idx"))).over(w).alias("prev_system_idx"),
+    )
