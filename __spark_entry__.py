@@ -300,6 +300,27 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_chunk_text(spark, sf_dir):
+    from stakgraph_spark.operators.embedpool import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir))
+
+
+def _q_weighted_pool(spark, sf_dir):
+    from stakgraph_spark.operators.embedpool import weighted_pool
+
+    return weighted_pool(_embs(spark, sf_dir))
+
+
+def _q_token_join(spark, sf_dir):
+    from stakgraph_spark.operators.embedpool import token_join
+    from stakgraph_spark.sources.entities import entities_df
+    from stakgraph_spark.sources.transcripts import read_transcripts
+
+    names = entities_df(spark).selectExpr("canonical_name AS name")
+    return token_join(read_transcripts(spark, sf_dir), names)
+
+
 def _q_media_features(spark, sf_dir):
     from stakgraph_spark.operators.multimodal import attach_media, extract_features
 
@@ -351,6 +372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": _q_quality,
         "tx_token_count": _q_token_count,
         "tx_fingerprint": _q_fingerprint,
+        # embedding pipeline (chunking + weighted pooling + token join)
+        "em_chunk_text": _q_chunk_text,
+        "em_weighted_pool": _q_weighted_pool,
+        "em_token_join": _q_token_join,
         # multimodal plumbing (pandas-UDF decode stub)
         "mm_media_features": _q_media_features,
     }
@@ -443,8 +468,17 @@ def oracle_sql() -> dict[str, str]:
         "tx_quality": DT.quality_score(),
         "tx_token_count": DT.token_count(),
         "tx_fingerprint": DT.fingerprint(),
+        "em_chunk_text": DT.chunk_text(),
+        "em_weighted_pool": DT.weighted_pool(),
         "mm_media_features": DT.media_features(),
     }
+    from stakgraph_spark.sources.entities import entities_cte
+
+    data_oracles["em_token_join"] = q(
+        DT.token_join_entities(
+            f"SELECT canonical_name AS name FROM ({entities_cte()})"
+        )
+    )
     # sim_lsh_pairs IS oracle-expressible too — same verified-pairs
     # semantics as the signatures; build it from the signature CTE.
     sig_sql = DT.lsh_signatures()

@@ -247,6 +247,55 @@ def fingerprint() -> str:
 
 
 # ---------------------------------------------------------------------------
+# embedding pipeline (chunking + pooled vectors)
+# ---------------------------------------------------------------------------
+
+def chunk_text(chunk_chars: int = 400) -> str:
+    return f"""
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       substring(text, i * {chunk_chars} + 1, {chunk_chars}) AS chunk
+FROM (SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / {chunk_chars}.0) AS INT))) AS i
+      FROM documents)
+WHERE substring(text, i * {chunk_chars} + 1, {chunk_chars}) <> ''"""
+
+
+def weighted_pool(first_weight: float = 1.2) -> str:
+    return f"""
+WITH f AS (
+  SELECT label,
+         CASE WHEN vec_id = min(vec_id) OVER (PARTITION BY label) THEN {first_weight} ELSE 1.0 END AS wt,
+         unnest(CAST(embedding AS DOUBLE[])) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+pooled AS (
+  SELECT label, CAST(dim AS INT) AS dim, sum(wt * val) / sum(wt) AS mean_val
+  FROM f GROUP BY label, dim
+),
+normed AS (
+  SELECT label, dim, mean_val,
+         sqrt(sum(mean_val * mean_val) OVER (PARTITION BY label)) AS norm
+  FROM pooled
+)
+SELECT label, dim,
+       floor((mean_val / norm) * 1000000.0 + CASE WHEN mean_val >= 0 THEN 0.5 ELSE -0.5 END) / 1000000.0 AS pooled
+FROM normed"""
+
+
+def token_join_entities(names_cte: str) -> str:
+    """Token-containment join against a names CTE
+    (SELECT ... name) — runs inside the KG prelude (needs
+    transcripts), so this returns only the tail SELECT."""
+    return f"""
+SELECT DISTINCT t.conv_id, t.turn_idx, nm.name AS matched_name
+FROM (SELECT conv_id, turn_idx,
+             regexp_replace(unnest(string_split_regex(lower(text), '\\s+')), '^@', '') AS tok
+      FROM transcripts) t
+JOIN ({names_cte}) nm ON lower(nm.name) = t.tok"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal metadata (deterministic stub arithmetic)
 # ---------------------------------------------------------------------------
 
