@@ -57,6 +57,16 @@ def _q_mentions(spark, sf_dir):
     return _graph(spark, sf_dir)["mentions"]
 
 
+def _q_mentions_rulepack(spark, sf_dir):
+    """The Arrow-batched pandas rule-pack executor (extensibility
+    surface) — must equal the JVM built-in path, so it shares
+    kg_mentions' oracle."""
+    from stakgraph_spark.operators.extract import extract_mentions_rulepack
+    from stakgraph_spark.sources.transcripts import read_transcripts
+
+    return extract_mentions_rulepack(read_transcripts(spark, sf_dir)).drop("rule").distinct()
+
+
 def _q_resolved(spark, sf_dir):
     return _graph(spark, sf_dir)["resolved"]
 
@@ -332,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG construction pipeline stages
         "kg_transcripts": _q_transcripts,
         "kg_mentions": _q_mentions,
+        "kg_mentions_rulepack": _q_mentions_rulepack,
         "kg_resolved": _q_resolved,
         "kg_canon_map": _q_canon_map,
         "kg_nodes": _q_nodes,
@@ -498,6 +509,7 @@ WHERE round(list_dot_product(na.vec, nb.vec), 4) >= 0.25"""
         **data_oracles,
         "kg_transcripts": q("SELECT conv_id, turn_idx, role, text, tool FROM transcripts"),
         "kg_mentions": q("SELECT conv_id, turn_idx, surface FROM mentions"),
+        "kg_mentions_rulepack": q("SELECT conv_id, turn_idx, surface FROM mentions"),
         "kg_resolved": q("SELECT conv_id, turn_idx, surface, entity_id, score FROM resolved"),
         "kg_canon_map": q("SELECT entity_id, canon_id FROM canon"),
         "kg_nodes": q("SELECT node_key, node_type, name, file, start FROM nodes"),

@@ -36,7 +36,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000"))
+# 8M turns: the largest corpus whose best-of-2 scaling leg reliably
+# fits a per-round bench budget on this VM (16M raises measured
+# efficiency ~0.69 -> ~0.75 but doubles the leg; see BENCH.md).
+SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
 SCALE_CORES = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(","))
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
 
@@ -139,8 +142,10 @@ def main() -> None:
     if DO_SCALING:
         lo, hi = SCALE_CORES
         best: dict[int, dict] = {}
-        for cores in (lo, hi):
-            for _ in range(SCALE_TRIALS):
+        # interleave configs so both sample similar neighbor-load
+        # windows (this VM's CPU availability drifts on ~minutes)
+        for _ in range(SCALE_TRIALS):
+            for cores in (lo, hi):
                 r = _scaling_trial(cores, SCALE_EVENTS)
                 if r and (cores not in best or r["turns_per_sec"] > best[cores]["turns_per_sec"]):
                     best[cores] = r
