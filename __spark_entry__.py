@@ -43,7 +43,11 @@ def _graph(spark: SparkSession, sf_dir: str):
 
     key = (id(spark), sf_dir)
     if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = build_from_sf_dir(spark, sf_dir)
+        g = build_from_sf_dir(spark, sf_dir)
+        # lazy persist: the driver runs many queries against one
+        # session; the shared derivation materializes once
+        g["transcripts"] = g["transcripts"].persist()
+        _GRAPH_CACHE[key] = g
     return _GRAPH_CACHE[key]
 
 
