@@ -1,0 +1,171 @@
+"""Path normalization + segment-wise matching (link_api_nodes core).
+
+Full-parity port of the reference's request->endpoint linking
+semantics (ast/src/lang/linker.rs):
+
+  * normalize_backend_path — the 7 template-var rewrites
+    (`<id>`/`<int:id>`, `:id`, `{id}`, `(id)`, `{id?}`, `[...p]`,
+    `[p]` -> `:param`), trailing-slash strip, leading-slash ensure
+    (linker.rs:195-230);
+  * normalize_frontend_path — `${var}` -> `:param`, template-prefix
+    strip, pure-template rejection (linker.rs:165-193);
+  * paths_match — equal segment count, api-prefix agreement, and
+    segment-wise (exact OR either-is-param) comparison
+    (linker.rs:241-266). Matching is performed between the NORMALIZED
+    frontend path and the RAW endpoint name, exactly as
+    link_api_nodes does (linker.rs:151-154).
+
+Everything is rendered as dialect-portable SQL fragments (Spark SQL
+and DuckDB) so the engine and the oracle share one definition. All
+string work is built-in regexp/array functions — JVM-side, no Python
+in the hot path. The nested-loop O(n*m) scan of the reference
+(linker.rs:151-159) becomes a partitioned equi-join on
+(n_segments, verb) with the zip-wise predicate as the join residual —
+the SURVEY §2.4 prescription.
+"""
+
+from __future__ import annotations
+
+# Backend rewrite rules, applied IN ORDER (linker.rs:197-212).
+# Patterns are written with character classes instead of backslash
+# escapes wherever possible so one literal parses identically in
+# Spark SQL (backslash-escaped strings) and DuckDB (raw strings);
+# the remaining backslashes are doubled for Spark by _pat().
+_BACKEND_RULES: list[str] = [
+    "<[^>]*:?[^>]+>",          # Flask/FastAPI "<param>" / "<type:param>"
+    ":[^/]+",                  # Express/Rails ":param"
+    "[{][^}]+[}]",             # Go/Rust "{param}"
+    "[(][^)]+[)]",             # optional "(param)"
+    "[{][^}]+[?][}]",          # optional "{param?}"
+    r"\[\.\.\.[^\]]+\]",       # Next.js catch-all "[...param]"
+    r"\[[^\]]+\]",             # Next.js "[param]"
+]
+
+_FRONTEND_TEMPLATE = "[$][{][^}]+[}]"  # ${var}
+
+
+def _pat(pattern: str, dialect: str) -> str:
+    """Render a regex as a SQL string literal for the dialect."""
+    if dialect == "spark":
+        pattern = pattern.replace("\\", "\\\\")
+    return "'" + pattern + "'"
+
+
+def _rr(expr: str, pattern: str, replacement: str, dialect: str) -> str:
+    flag = ", 'g'" if dialect == "duckdb" else ""
+    return f"regexp_replace({expr}, {_pat(pattern, dialect)}, '{replacement}'{flag})"
+
+
+def normalize_backend_path_sql(expr: str, dialect: str) -> str:
+    """SQL fragment: normalize_backend_path(expr) (linker.rs:195-230).
+    Total (never NULL for non-NULL input). The rewrite chain appears
+    exactly once: trailing-slash-except-root is the capture-group
+    rewrite '(.)/+$' -> kept char (no-op on '/'), and the leading
+    slash is ensured by stripping any leading slashes and
+    re-prepending one."""
+    out = expr
+    for rule in _BACKEND_RULES:
+        out = _rr(out, rule, ":param", dialect)
+    cap = "$1" if dialect == "spark" else "\\1"
+    out = _rr(out, "(.)/+$", cap, dialect)      # strip trailing slash, keep root
+    out = _rr(out, "^/+", "", dialect)          # then normalize the leading one
+    return f"'/' || ({out})"
+
+
+def normalize_frontend_path_sql(expr: str, dialect: str) -> str:
+    """SQL fragment: normalize_frontend_path(expr) (linker.rs:165-193).
+    NULL when the path is a pure template literal (the reference's
+    None => request not linkable)."""
+    # path part after a leading ${...} prefix
+    part = (
+        f"CASE WHEN {expr} LIKE '${{%' THEN substr({expr}, instr({expr}, '}}') + 1) "
+        f"ELSE {expr} END"
+    )
+    norm = _rr(part, _FRONTEND_TEMPLATE, ":param", dialect)
+    norm = _rr(norm, "^/+", "", dialect)
+    pure_template = (
+        f"({expr} LIKE '${{%' AND {expr} LIKE '%}}' "
+        f"AND instr(substr({expr}, 3), '${{') = 0)"
+    )
+    no_close = f"({expr} LIKE '${{%' AND instr({expr}, '}}') = 0)"
+    return f"CASE WHEN {pure_template} OR {no_close} THEN NULL ELSE '/' || ({norm}) END"
+
+
+def segments_sql(expr: str, dialect: str) -> str:
+    """Non-empty path segments as an array (linker.rs:242-244)."""
+    if dialect == "spark":
+        return f"filter(split({expr}, '/'), s -> s != '')"
+    return f"list_filter(string_split({expr}, '/'), s -> s != '')"
+
+
+def n_segments_sql(expr: str, dialect: str) -> str:
+    f = "size" if dialect == "spark" else "len"
+    return f"{f}({segments_sql(expr, dialect)})"
+
+
+def paths_match_sql(a: str, b: str, dialect: str) -> str:
+    """Boolean SQL fragment: paths_match(a, b) (linker.rs:241-266).
+    a = normalized frontend path, b = raw backend endpoint name."""
+    sa, sb = segments_sql(a, dialect), segments_sql(b, dialect)
+    if dialect == "spark":
+        zipped_ok = (
+            f"forall(zip_with({sa}, {sb}, (f, b) -> "
+            f"f = b OR startswith(f, ':') OR startswith(b, ':')), x -> x)"
+        )
+        first = lambda s: f"element_at({s}, 1)"  # noqa: E731
+    else:
+        zipped_ok = (
+            f"len(list_filter(list_zip({sa}, {sb}), z -> "
+            f"NOT (z[1] = z[2] OR z[1] LIKE ':%' OR z[2] LIKE ':%'))) = 0"
+        )
+        first = lambda s: f"{s}[1]"  # noqa: E731
+    n_eq = f"{n_segments_sql(a, dialect)} = {n_segments_sql(b, dialect)}"
+    api_rule = (
+        f"(NOT ({first(sa)} = 'api' OR {first(sb)} = 'api') "
+        f"OR {first(sa)} = {first(sb)})"
+    )
+    return f"({n_eq} AND {api_rule} AND {zipped_ok})"
+
+
+# ---------------------------------------------------------------------------
+# Planted path dims for the oracle-gated parity queries — the
+# reference's own unit cases (linker.rs:268-359) plus one of each
+# remaining template form, as (id, verb, raw_path) literals shared by
+# the Spark query and the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+# Frontend request names (normalize_frontend_path inputs).
+REQUEST_PATH_CASES: list[tuple[int, str, str]] = [
+    (0, "GET", "${ROOT}/api/user/${id}"),          # -> /api/user/:param
+    (1, "GET", "${SOME_CONSTANT}/user/${id}"),     # -> /user/:param
+    (2, "GET", "${ENDPOINTS.something}"),          # pure template -> NULL
+    (3, "GET", "/api/users/123"),                  # concrete id
+    (4, "POST", "/api/posts/${id}"),               # verb mismatch vs ep 13
+    (5, "GET", "/api/user/${id}/extra"),           # segment-count mismatch
+    (6, "DELETE", "api/parts/${partId}"),          # no leading slash
+    (7, "GET", "/user/${id}"),                     # api-prefix rule: no match vs /api/user/:id
+]
+
+# Backend endpoint names (normalize_backend_path inputs) — one per
+# template style (linker.rs:197-212 rule table).
+ENDPOINT_PATH_CASES: list[tuple[int, str, str]] = [
+    (10, "GET", "/api/user/:id"),                  # Express/Rails
+    (11, "GET", "/api/users/<int:id>"),            # Flask/FastAPI typed
+    (12, "GET", "/user/{id}"),                     # Go/Rust
+    (13, "GET", "/api/posts/(id)"),                # optional
+    (14, "DELETE", "/api/parts/{partId?}"),        # optional curly
+    (15, "GET", "/api/docs/[...slug]"),            # Next.js catch-all
+    (16, "POST", "/api/pages/[page]/"),            # Next.js + trailing slash
+]
+
+
+def request_paths_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(REQUEST_PATH_CASES, ["req_id", "verb", "raw"], ["INT", "STRING", "STRING"])
+
+
+def endpoint_paths_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(ENDPOINT_PATH_CASES, ["ep_id", "verb", "raw"], ["INT", "STRING", "STRING"])

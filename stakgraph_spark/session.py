@@ -62,6 +62,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps across engines (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
+        # '${...}' in SQL text must stay literal (template-var path
+        # dims would otherwise be eaten by variable substitution).
+        .config("spark.sql.variable.substitute", "false")
         # Keep broadcast threshold explicit: entity dictionaries are
         # broadcast by hint, not by accident.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -85,6 +85,27 @@ ALIASES: list[tuple[int, int, str]] = [
 # chain: min-label must propagate transitively.
 SAME_AS: list[tuple[int, int]] = [(5, 6), (17, 19), (19, 18)]
 
+# --- planted entity-hierarchy pairs (the reference's meta-driven
+# class relations, resolved by name joins; here planted as explicit
+# id pairs — the dictionaries ARE the meta) ---
+
+# class_inherits analog (array_graph.rs:229-246; Edge::parent_of puts
+# the PARENT as source): (parent_class_id, child_class_id).
+PARENT_OF_PAIRS: list[tuple[int, int]] = [(0, 14), (3, 4)]
+
+# class_includes analog (array_graph.rs:247-266; IMPORTS edge from
+# the including class to each included module-class):
+# (includer_class_id, included_class_id).
+CLASS_IMPORTS_PAIRS: list[tuple[int, int]] = [(4, 3), (14, 0)]
+
+# method-of (OPERAND) pairs — Class->Function (mod.rs:77, From<Operand>)
+# and Trait->Function (trait_operand, mod.rs:197-203):
+# (container_id, function_entity_id).
+OPERAND_PAIRS: list[tuple[int, int]] = [(0, 13), (12, 13)]
+
+# collect_implements_edges analog (collect.rs:60-81): Class->Trait.
+IMPLEMENTS_PAIRS: list[tuple[int, int]] = [(15, 12), (16, 12)]
+
 # Tool libraries (CALLS targets for tool: invocations).
 TOOLS: list[tuple[int, str, str]] = [
     (200, "search", "Library"),
@@ -191,3 +212,44 @@ def tools_cte() -> str:
 def endpoints_cte() -> str:
     rows = [(i, v, s, endpoint_name(v, s)) for i, v, s in ENDPOINTS]
     return _union_all(rows, ["entity_id", "verb", "seg", "canonical_name"], ["INT", "STRING", "STRING", "STRING"])
+
+
+def instances() -> list[tuple[int, int, str, str]]:
+    """Instance rows (reference Instance nodes, collect.rs:22-23):
+    one per alias of a Class-typed entity, carrying the class name as
+    data_type (asg.rs NodeData.data_type). -> (entity_id, alias_idx,
+    alias, class_name)."""
+    class_names = {i: n for i, n, t in ENTITIES if t == "Class"}
+    return [
+        (eid, aidx, alias, class_names[eid])
+        for eid, aidx, alias in ALIASES
+        if eid in class_names
+    ]
+
+
+def instances_cte() -> str:
+    return _union_all(
+        instances(),
+        ["entity_id", "alias_idx", "alias", "class_name"],
+        ["INT", "INT", "STRING", "STRING"],
+    )
+
+
+def _pairs_cte(pairs: list[tuple[int, int]]) -> str:
+    return _union_all(pairs, ["src_id", "dst_id"], ["INT", "INT"])
+
+
+def parent_of_cte() -> str:
+    return _pairs_cte(PARENT_OF_PAIRS)
+
+
+def class_imports_cte() -> str:
+    return _pairs_cte(CLASS_IMPORTS_PAIRS)
+
+
+def operand_cte() -> str:
+    return _pairs_cte(OPERAND_PAIRS)
+
+
+def implements_cte() -> str:
+    return _pairs_cte(IMPLEMENTS_PAIRS)
