@@ -41,7 +41,9 @@ def _graph(spark: SparkSession, sf_dir: str):
     Spark share scan/derivation subtrees."""
     from stakgraph_spark.plans.pipeline import build_from_sf_dir
 
-    key = (id(spark), sf_dir)
+    # keyed by applicationId (session-lifetime token): id() can be
+    # reused by CPython after a stopped session is collected
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAPH_CACHE:
         g = build_from_sf_dir(spark, sf_dir)
         # lazy persist: the driver runs many queries against one
@@ -156,13 +158,17 @@ def _q_nodes_with_uses_edges(spark, sf_dir):
 def _q_latest_per_type(spark, sf_dir):
     from stakgraph_spark.operators.queryops import latest_per_type
 
-    return latest_per_type(_graph(spark, sf_dir)["nodes"], 3)
+    return latest_per_type(_graph(spark, sf_dir)["nodes"], 3).select(
+        "node_key", "node_type", "name", "file", "start"
+    )
 
 
 def _q_search(spark, sf_dir):
     from stakgraph_spark.operators.queryops import search_nodes
 
-    return search_nodes(_graph(spark, sf_dir)["nodes"], "order service", limit=10)
+    return search_nodes(_graph(spark, sf_dir)["nodes"], "order service", limit=10).select(
+        "node_key", "node_type", "name", "file", "start", "score"
+    )
 
 
 def _q_coverage(spark, sf_dir):
@@ -185,7 +191,7 @@ def _q_subtree(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     roots = spark.createDataFrame([(REPO_KEY,)], "node_key STRING")
-    return subtree(g["edges"], roots, depth=2, edge_types=("CONTAINS",))
+    return subtree(g["edges"], roots, depth=3, edge_types=("CONTAINS",))
 
 
 # --- set ops / ordered aggs / adjacency windows (SURVEY §2.2/§2.6/§2.8) ---
@@ -449,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT 1 FROM edges e WHERE e.target_key = n.node_key"
             " AND e.edge_type IN ('USES','CALLS')) ORDER BY node_key"
         ),
-        "qs_subtree": subtree_sql(REPO_KEY, 2, "CONTAINS"),
+        "qs_subtree": subtree_sql(REPO_KEY, 3, "CONTAINS"),
         "so_conv_rollup": q(
             "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS rolled,"
             " CAST(count(*) AS BIGINT) AS n_turns"
@@ -516,7 +522,10 @@ WHERE round(list_dot_product(na.vec, nb.vec), 4) >= 0.25"""
         "kg_mentions_rulepack": q("SELECT conv_id, turn_idx, surface FROM mentions"),
         "kg_resolved": q("SELECT conv_id, turn_idx, surface, entity_id, score FROM resolved"),
         "kg_canon_map": q("SELECT entity_id, canon_id FROM canon"),
-        "kg_nodes": q("SELECT node_key, node_type, name, file, start FROM nodes"),
+        "kg_nodes": q(
+            'SELECT node_key, node_type, name, file, start, "end", body, docs,'
+            " hash, data_type, meta FROM nodes"
+        ),
         "kg_edges": q("SELECT edge_type, source_key, target_key FROM edges"),
         "kg_triples": q("SELECT subj, pred, obj FROM triples"),
         "kg_node_census": q(

@@ -68,6 +68,12 @@ def sanitize_sql(expr: str, dialect: str) -> str:
     return f"regexp_replace(lower(trim(CAST({expr} AS STRING))), '[^a-z0-9]', ''{flag})"
 
 
-def node_key_sql(node_type: str, name: str, file: str, start: str, dialect: str) -> str:
-    parts = [sanitize_sql(e, dialect) for e in (node_type, name, file, start)]
+def node_key_sql(
+    node_type: str, name: str, file: str, start: str, dialect: str, verb: str | None = None
+) -> str:
+    """The optional 5th part mirrors the reference's verb arm
+    (utils.rs:83-88): multiple endpoints/requests may share one line,
+    distinguished only by HTTP verb (asg.rs:29)."""
+    exprs = [node_type, name, file, start] + ([verb] if verb is not None else [])
+    parts = [sanitize_sql(e, dialect) for e in exprs]
     return " || '-' || ".join(parts)

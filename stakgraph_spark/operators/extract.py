@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 MENTION_RE = r"@([A-Za-z0-9_.\-]+)"
 TOOL_RE = r"tool:([a-z]+)\("
-REQUEST_RE = r"(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:\-]+)"
+# dash-at-end form: parses identically as a Spark SQL string literal
+# (no backslash escapes) and as a Python regex
+REQUEST_RE = r"(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)"
 TESTREF_RE = r"ref test_([0-9]+)"
 TESTDEF_RE = r"defines test_([0-9]+)"
 NUMSEG_RE = r"/[0-9]+"
@@ -51,50 +53,87 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
 
 
 def extract_tool_calls(transcripts: DataFrame) -> DataFrame:
-    """-> (conv_id, turn_idx, toolname): `tool:name(` invocations."""
-    return (
-        transcripts.select(
-            "conv_id", "turn_idx", F.regexp_extract("text", TOOL_RE, 1).alias("toolname")
-        )
-        .where(F.col("toolname") != "")
+    """-> (conv_id, turn_idx, toolname): `tool:name(` invocations.
+    regexp_extract_all + explode — ALL calls per turn are emitted
+    (the reference's get_function_calls collects every call site per
+    file, lang/mod.rs:446-616), not just the first match."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.regexp_extract_all("text", F.lit(TOOL_RE), 1)).alias("toolname"),
     )
 
 
 def extract_requests(transcripts: DataFrame) -> DataFrame:
-    """-> (conv_id, turn_idx, verb, path, norm_path).
+    """-> (conv_id, turn_idx, verb, path, norm_path), one row per
+    request occurrence (multi-match: full-match extract_all, then
+    verb/path split on the first space).
 
-    norm_path replaces numeric segments with ':param' — the
-    normalize_backend_path analog (linker.rs:195-230) that turns the
-    reference's O(n*m) nested-loop request/endpoint matching into a
-    partitioned equi-join on (verb, norm_path).
+    norm_path applies the FULL normalize_backend_path rewrite chain
+    (linker.rs:195-230, functions/paths.py) plus one corpus-specific
+    rule: this transcript corpus writes concrete numeric ids as its
+    template-var form, so `/123` segments also become `/:param`. The
+    result turns the reference's O(n*m) nested-loop request/endpoint
+    matching (linker.rs:151-159) into a partitioned equi-join on
+    (verb, norm_path); the concrete-vs-:param segment matching of
+    paths_match is exercised by the kg_paths_match planted-dim query.
     """
-    ex = transcripts.select(
+    from ..functions.paths import normalize_backend_path_sql
+
+    norm = normalize_backend_path_sql(
+        f"regexp_replace(path, '{NUMSEG_RE}', '/:param')", "spark"
+    )
+    return transcripts.selectExpr(
         "conv_id",
         "turn_idx",
-        F.regexp_extract("text", REQUEST_RE, 1).alias("verb"),
-        F.regexp_extract("text", REQUEST_RE, 2).alias("path"),
-    ).where(F.col("verb") != "")
-    return ex.withColumn("norm_path", F.regexp_replace("path", NUMSEG_RE, "/:param"))
+        f"explode(regexp_extract_all(text, '{REQUEST_RE}', 0)) AS m",
+    ).selectExpr(
+        "conv_id",
+        "turn_idx",
+        "split_part(m, ' ', 1) AS verb",
+        "split_part(m, ' ', 2) AS path",
+    ).selectExpr("conv_id", "turn_idx", "verb", "path", f"{norm} AS norm_path")
 
 
 def extract_test_refs(transcripts: DataFrame) -> DataFrame:
     """-> (conv_id, turn_idx, tid): `ref test_<k>` references
-    (extract_test_ids analog, linker.rs:115-127)."""
-    return (
-        transcripts.select(
-            "conv_id", "turn_idx", F.regexp_extract("text", TESTREF_RE, 1).alias("tid")
-        )
-        .where(F.col("tid") != "")
+    (extract_test_ids analog, linker.rs:115-127); all refs per turn."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.regexp_extract_all("text", F.lit(TESTREF_RE), 1)).alias("tid"),
     )
 
 
 def extract_test_defs(transcripts: DataFrame) -> DataFrame:
-    """-> (conv_id, turn_idx, tid): `defines test_<k>` definitions."""
+    """-> (conv_id, turn_idx, tid, text): `defines test_<k>`
+    definitions; text kept for the Test node body."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.regexp_extract_all("text", F.lit(TESTDEF_RE), 1)).alias("tid"),
+        "text",
+    )
+
+
+def first_test_defs(transcripts: DataFrame) -> DataFrame:
+    """-> (tid, d_conv, d_turn, d_text): the globally-FIRST defining
+    turn per test id (deterministic pick => parallelism-invariant).
+    Shared by Test-node materialization and the shared-test-id linker
+    (link_e2e_tests analog, linker.rs:56-127)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tid").orderBy("conv_id", "turn_idx")
     return (
-        transcripts.select(
-            "conv_id", "turn_idx", F.regexp_extract("text", TESTDEF_RE, 1).alias("tid")
+        extract_test_defs(transcripts)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "tid",
+            F.col("conv_id").alias("d_conv"),
+            F.col("turn_idx").alias("d_turn"),
+            F.col("text").alias("d_text"),
         )
-        .where(F.col("tid") != "")
     )
 
 

@@ -1,26 +1,58 @@
 """Typed node/edge materialization (the graph tables).
 
 Produces the two output tables mirroring the reference schema
-(SURVEY.md §1.3; NodeData ast/src/lang/asg.rs:66-82):
+(SURVEY.md §1.3; NodeData ast/src/lang/asg.rs:66-82) with the FULL
+payload:
 
-  nodes(node_key, node_type, name, file, start)   [+ body/meta at sink]
+  nodes(node_key, node_type, name, file, start, end, body, docs,
+        hash, data_type, meta)
   edges(edge_type, source_key, target_key)
 
-Identity follows the reference exactly: node_key recipe
-(utils.rs:67-90), edge dedup on (src, dst, type)
-(array_graph.rs:775-781) — the reference's bulk edge write is CREATE
-not MERGE (neo4j_utils.rs:169-175), so dedup MUST happen here.
+`meta` is the reference's open string->string map serialized as a
+canonical sorted 'k=v;k=v' string — the reference itself flattens
+meta at serialization time (asg.rs:84-120) and in the Neo4j mapping
+(asg.rs:325-349), so flat-at-rest matches the on-wire format.
 
-Edge families (reference predicate vocabulary, mod.rs:71-88):
-  CONTAINS  corpus->conversation->turn scaffold
+Identity follows the reference exactly: node_key recipe
+(utils.rs:67-90, verb arm utils.rs:83-88), edge dedup on
+(src, dst, type) (array_graph.rs:775-781) — the reference's bulk
+edge write is CREATE not MERGE (neo4j_utils.rs:169-175), so dedup
+MUST happen here.
+
+Node vocabulary — all 19 reference NodeTypes (mod.rs:27-50):
+  Repository corpus root          Language   role stratum (repo.rs:215-300 analog)
+  Directory  conversation bucket  File       conversation
+  Import     per-conv system-turn rollup (combine_import_sections,
+             builder/utils.rs:39-87)
+  Function   turn                 Library    tool
+  Class/Trait/Datamodel/Feature/Page/Var  dictionary entities
+  Instance   alias row of a Class entity (collect.rs:22-23)
+  UnitTest/IntegrationTest/E2etest  planted test ids, classified
+             tid%3 (classify_test analog, queries/mod.rs:183)
+  Endpoint   dictionary           Request    request occurrence
+             (format.rs requests-within-functions)
+
+Edge vocabulary — all 12 reference EdgeTypes (mod.rs:71-88):
+  CONTAINS  repo->lang/dir, dir->conv, conv->turn/import/test,
+            turn->request (builder scaffold, core.rs:46-90)
   USES      turn -> canonical entity (linked mention)
-  CALLS     turn -> tool Library; turn -> Endpoint (path-normalized
-            link_api_nodes analog, linker.rs:129-163); turn -> turn
-            (shared-test-id link, linker.rs:56-127)
+  CALLS     turn -> tool Library; Request -> Endpoint
+            (link_api_nodes, linker.rs:129-163); Test -> referencing
+            turn (shared-test-id link, linker.rs:56-127)
   HANDLER   endpoint -> first referencing turn (handler_finder
             analog, queries/mod.rs:208-223)
-  OF        alias-member entity -> canonical entity (Instance->Class
-            analog, array_graph.rs:268-283)
+  OF        Instance -> Class (mod.rs:168-174); alias-member entity
+            -> canonical entity (canonicalization collapse)
+  OPERAND   Class/Trait -> Function entity (mod.rs:197-203, planted)
+  ARG_OF    tool turn (Function) -> entity passed as the tool-call
+            argument (mod.rs:78 Function->Arg)
+  IMPORTS   conv File -> entities mentioned in turn 0 (top-of-file
+            import section analog, file_imports mod.rs:218-224);
+            Class -> Class planted includes (array_graph.rs:247-266)
+  INCLUDES  Feature -> turn mentioning it (mod.rs:83 Feature->any)
+  RENDERS   Page -> turn mentioning it (mod.rs:182-195)
+  PARENT_OF parent Class -> child Class (array_graph.rs:229-246)
+  IMPLEMENTS Class -> Trait (collect.rs:60-81)
 """
 
 from __future__ import annotations
@@ -28,19 +60,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.keys import node_key, node_key_sql
+from ..functions.keys import node_key, node_key_py, node_key_sql
 from ..sources import entities as E
 from . import canon as canon_op
 from . import extract as X
-from . import link as L
 
 REPO_KEY = "repository-corpus-corpus-0"
+MAX_FILE_SIZE = 500_000  # builder/utils.rs:9 — body dropped above, node kept
+NULL_S = "CAST(NULL AS STRING)"
 
 
 # Key expressions are built as SQL strings (one F.expr bridge call)
 # rather than nested Column ops: the sandbox py4j bridge costs ~6ms
 # per Column call, and node_key expands to ~16 nested calls — across
-# the 8 edge/node families that is seconds of pure driver latency.
+# the 20+ edge/node families that is seconds of pure driver latency.
 
 def _conv_key_sql(conv: str) -> str:
     return node_key_sql("'File'", conv, f"'corpus/' || {conv}", "0", "spark")
@@ -56,6 +89,47 @@ def _turn_key_sql(conv: str, turn: str) -> str:
     )
 
 
+def _lang_key_sql(role: str) -> str:
+    return node_key_sql("'Language'", role, "'corpus'", "0", "spark")
+
+
+def _dir_key_sql(bucket: str) -> str:
+    return node_key_sql("'Directory'", bucket, f"'corpus/' || {bucket}", "0", "spark")
+
+
+def _import_key_sql(conv: str, start: str) -> str:
+    return node_key_sql("'Import'", "'imports'", f"'corpus/' || {conv}", start, "spark")
+
+
+TEST_TYPE_SQL = (
+    "CASE CAST({tid} AS INT) % 3 WHEN 0 THEN 'UnitTest' "
+    "WHEN 1 THEN 'IntegrationTest' ELSE 'E2etest' END"
+)
+TEST_KIND_SQL = (
+    "CASE CAST({tid} AS INT) % 3 WHEN 0 THEN 'unit' "
+    "WHEN 1 THEN 'integration' ELSE 'e2e' END"
+)
+
+
+def _test_key_sql(tid: str, conv: str, turn: str) -> str:
+    return node_key_sql(
+        TEST_TYPE_SQL.format(tid=tid),
+        f"'test_' || {tid}",
+        f"'corpus/' || {conv}",
+        turn,
+        "spark",
+    )
+
+
+def _request_key_sql(conv: str, turn: str) -> str:
+    return node_key_sql(
+        "'Request'", "path", f"'corpus/' || {conv}", turn, "spark", verb="verb"
+    )
+
+
+BUCKET_SQL = "substring(conv_id, 1, 9)"  # conversation bucket = 100-user directory
+
+
 def all_entities(spark: SparkSession) -> DataFrame:
     """entities + tools + endpoints with their node types."""
     return (
@@ -69,28 +143,11 @@ def all_entities(spark: SparkSession) -> DataFrame:
     )
 
 
-_ENTITY_NODES_CACHE: dict[int, DataFrame] = {}
+_ENTITY_NODES_CACHE: dict = {}
 
 
-def entity_nodes(spark: SparkSession) -> DataFrame:
-    """(node_key, node_type, name, file, start, canon_id) for every
-    dictionary entity, with its canonical component id.
-
-    The dictionary is STATIC driver data (Python lists in
-    sources/entities.py), so this is computed entirely on the driver
-    — union-find over SAME_AS plus the node_key recipe — and handed
-    to Spark as one LocalRelation: zero Spark jobs, broadcastable
-    as-is. The distributed canonical_map operator exists for
-    dictionaries that are themselves tables (and is exercised by
-    tests/bench); routing 28 static rows through it costs seconds of
-    task-scheduling per session for no data.
-    """
-    key = id(spark)
-    if key in _ENTITY_NODES_CACHE:
-        return _ENTITY_NODES_CACHE[key]
-
-    from ..functions.keys import node_key_py
-
+def _canon_parent() -> dict[int, int]:
+    """Driver-side union-find over the static SAME_AS pairs."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -103,84 +160,386 @@ def entity_nodes(spark: SparkSession) -> DataFrame:
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
+    return {i: find(i) for i in range(0, 300)}
 
+
+def _entity_rows() -> list[tuple]:
+    """(node_key, node_type, name, file, start, canon_id, data_type, meta)
+    for every dictionary entity."""
+    find = _canon_parent()
+    ep_verbs = {i: v for i, v, _ in E.ENDPOINTS}
     ents = (
         list(E.ENTITIES)
         + list(E.TOOLS)
         + [(i, E.endpoint_name(v, s), "Endpoint") for i, v, s in E.ENDPOINTS]
     )
-    rows = [
-        (node_key_py(t, n, "entities", i), t, n, "entities", i, find(i))
+    return [
+        (
+            node_key_py(t, n, "entities", i),
+            t,
+            n,
+            "entities",
+            i,
+            find[i],
+            None,
+            f"verb={ep_verbs[i]}" if t == "Endpoint" else "",
+        )
         for i, n, t in ents
     ]
+
+
+def entity_nodes(spark: SparkSession) -> DataFrame:
+    """(node_key, node_type, name, file, start, canon_id, data_type,
+    meta) for every dictionary entity, with its canonical component.
+
+    The dictionary is STATIC driver data (Python lists in
+    sources/entities.py), so this is computed entirely on the driver
+    — union-find over SAME_AS plus the node_key recipe — and handed
+    to Spark as one LocalRelation: zero Spark jobs, broadcastable
+    as-is. The distributed canonical_map operator exists for
+    dictionaries that are themselves tables (and is exercised by
+    tests/bench); routing 28 static rows through it costs seconds of
+    task-scheduling per session for no data.
+    """
+    key = (spark.sparkContext.applicationId, "ents")
+    if key in _ENTITY_NODES_CACHE:
+        return _ENTITY_NODES_CACHE[key]
     lit = spark.createDataFrame(
-        rows,
-        "node_key STRING, node_type STRING, name STRING, file STRING, start INT, canon_id INT",
+        _entity_rows(),
+        "node_key STRING, node_type STRING, name STRING, file STRING, "
+        "start INT, canon_id INT, data_type STRING, meta STRING",
     )
     _ENTITY_NODES_CACHE[key] = lit
     return lit
 
 
-def _entity_nodes_uncached(spark: SparkSession) -> DataFrame:
-    ents = all_entities(spark)
-    cmap = canon_op.canonical_map(ents.select("entity_id"), E.same_as_df(spark))
-    return ents.join(cmap, "entity_id").select(
-        node_key(F.col("entity_type"), F.col("canonical_name"), F.lit("entities"), F.col("entity_id")).alias("node_key"),
-        F.col("entity_type").alias("node_type"),
-        F.col("canonical_name").alias("name"),
-        F.lit("entities").alias("file"),
-        F.col("entity_id").cast("int").alias("start"),
-        F.col("canon_id"),
+def instance_nodes(spark: SparkSession) -> DataFrame:
+    """Instance nodes — one per alias row of a Class-typed entity
+    (reference Instance extraction, collect.rs:22-23), carrying the
+    class name as data_type (asg.rs:73). start = the alias row's
+    dictionary line so sanitize-colliding aliases ('order-service'
+    vs 'orderservice') and shared aliases ('core') keep distinct
+    keys."""
+    key = (spark.sparkContext.applicationId, "inst")
+    if key in _ENTITY_NODES_CACHE:
+        return _ENTITY_NODES_CACHE[key]
+    rows = [
+        (node_key_py("Instance", alias, "entities", line), "Instance", alias,
+         "entities", line, eid, cls, "")
+        for eid, line, alias, cls in E.instances()
+    ]
+    lit = spark.createDataFrame(
+        rows,
+        "node_key STRING, node_type STRING, name STRING, file STRING, "
+        "start INT, entity_id INT, data_type STRING, meta STRING",
     )
+    _ENTITY_NODES_CACHE[key] = lit
+    return lit
 
 
-def build_nodes(spark: SparkSession, transcripts: DataFrame, ent_nodes: DataFrame) -> DataFrame:
-    repo = spark.createDataFrame(
-        [(REPO_KEY, "Repository", "corpus", "corpus", 0)],
-        "node_key STRING, node_type STRING, name STRING, file STRING, start INT",
+def static_edges(spark: SparkSession) -> DataFrame:
+    """Dictionary-derived edge families, computed on the driver
+    (static data -> one LocalRelation, zero Spark jobs):
+
+      OF         Instance -> its Class (mod.rs:168-174)
+      PARENT_OF  parent Class -> child Class (array_graph.rs:229-246)
+      IMPORTS    including Class -> included Class (array_graph.rs:247-266)
+      OPERAND    Class/Trait -> Function entity (mod.rs:197-203)
+      IMPLEMENTS Class -> Trait (collect.rs:60-81)
+    """
+    key = (spark.sparkContext.applicationId, "sedges")
+    if key in _ENTITY_NODES_CACHE:
+        return _ENTITY_NODES_CACHE[key]
+    types = {i: t for i, _, t in E.ENTITIES}
+    names = {i: n for i, n, _ in E.ENTITIES}
+
+    def ekey(i: int) -> str:
+        return node_key_py(types[i], names[i], "entities", i)
+
+    rows: list[tuple[str, str, str]] = []
+    for eid, line, alias, _cls in E.instances():
+        rows.append(("OF", node_key_py("Instance", alias, "entities", line), ekey(eid)))
+    for parent, child in E.PARENT_OF_PAIRS:
+        rows.append(("PARENT_OF", ekey(parent), ekey(child)))
+    for src, dst in E.CLASS_IMPORTS_PAIRS:
+        rows.append(("IMPORTS", ekey(src), ekey(dst)))
+    for src, dst in E.OPERAND_PAIRS:
+        rows.append(("OPERAND", ekey(src), ekey(dst)))
+    for src, dst in E.IMPLEMENTS_PAIRS:
+        rows.append(("IMPLEMENTS", ekey(src), ekey(dst)))
+    lit = spark.createDataFrame(
+        rows, "edge_type STRING, source_key STRING, target_key STRING"
     )
+    _ENTITY_NODES_CACHE[key] = lit
+    return lit
+
+
+# ---------------------------------------------------------------------------
+# Nodes — split into bucket-pure (local) and cross-conversation
+# (global) families so the resumable builder (streaming/incremental)
+# composes the SAME code per unit: a bucket's output is a pure
+# function of the bucket's rows + static dims; everything that
+# consults global state (first_def, request ordering, role/bucket
+# strata) lives in the globals unit, whose fingerprint covers the
+# whole corpus. That decomposition is what makes bucket-wise resume
+# byte-equal to the single-shot build under ANY edit (including one
+# that moves a cross-bucket pick like the first defining turn).
+# ---------------------------------------------------------------------------
+
+_ROLLED = (
+    "array_join(transform(array_sort(collect_list(struct(turn_idx, text))), "
+    "x -> x.text), chr(10))"
+)
+
+
+def _pad(body="''", docs=NULL_S, hash_=NULL_S, data_type=NULL_S, meta="''"):
+    return [
+        f"{body} AS body",
+        f"{docs} AS docs",
+        f"{hash_} AS hash",
+        f"{data_type} AS data_type",
+        f"{meta} AS meta",
+    ]
+
+
+def local_nodes(spark: SparkSession, transcripts: DataFrame, requests: DataFrame) -> DataFrame:
+    """File / Import / Function / Request nodes — pure functions of
+    the conversation's own rows (embarrassingly parallel over conv_id
+    buckets)."""
+    # File body = ordered rollup of turn texts, guarded at
+    # MAX_FILE_SIZE (builder/utils.rs:9: body dropped, node kept);
+    # hash = digest of the (post-guard) body (prepare_file_data,
+    # builder/utils.rs:90-101). groupBy(conv_id) reuses the conv_id
+    # hash partitioning the derivation already produced — no shuffle.
     convs = (
-        transcripts.select("conv_id")
-        .distinct()
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.expr("max(turn_idx)").alias("fend"),
+            F.expr(_ROLLED).alias("raw_body"),
+        )
+        .selectExpr(
+            "conv_id",
+            "fend",
+            f"CASE WHEN length(raw_body) > {MAX_FILE_SIZE} THEN '' ELSE raw_body END AS fbody",
+        )
         .selectExpr(
             f"{_conv_key_sql('conv_id')} AS node_key",
             "'File' AS node_type",
             "conv_id AS name",
             "'corpus/' || conv_id AS file",
             "0 AS start",
+            "fend AS `end`",
+            *_pad(body="fbody", hash_="md5(fbody)", meta=f"'parent=' || {BUCKET_SQL}"),
         )
     )
+
+    # Import = per-conversation rollup of the system-turn section
+    # (combine_import_sections analog, builder/utils.rs:39-87: sort
+    # by start, join with newlines).
+    imports = (
+        transcripts.where("role = 'system'")
+        .groupBy("conv_id")
+        .agg(
+            F.expr("CAST(min(turn_idx) AS INT)").alias("istart"),
+            F.expr("CAST(max(turn_idx) AS INT)").alias("iend"),
+            F.expr(_ROLLED).alias("ibody"),
+        )
+        .selectExpr(
+            f"{_import_key_sql('conv_id', 'istart')} AS node_key",
+            "'Import' AS node_type",
+            "'imports' AS name",
+            "'corpus/' || conv_id AS file",
+            "istart AS start",
+            "iend AS `end`",
+            *_pad(body="ibody", hash_="md5(ibody)", meta="'parent=' || conv_id"),
+        )
+    )
+
+    # Turn docs = nearest preceding system-turn text
+    # (attach_function_comments analog, lang/mod.rs:53-97) — a
+    # conv_id-partitioned window, shuffle-free over the derivation's
+    # partitioning.
     turns = transcripts.selectExpr(
         f"{_turn_key_sql('conv_id', 'turn_idx')} AS node_key",
         "'Function' AS node_type",
         "'turn_' || CAST(turn_idx AS STRING) AS name",
         "'corpus/' || conv_id AS file",
         "turn_idx AS start",
+        "turn_idx AS `end`",
+        "text AS body",
+        "last(CASE WHEN role = 'system' THEN text END, true) OVER ("
+        "PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS docs",
+        "md5(text) AS hash",
+        f"{NULL_S} AS data_type",
+        "'parent=' || conv_id || ';role=' || role || "
+        "CASE WHEN tool != '' THEN ';tool=' || tool ELSE '' END AS meta",
     )
-    ents = ent_nodes.select("node_key", "node_type", "name", "file", "start")
-    return repo.unionByName(convs).unionByName(turns).unionByName(ents)
+
+    reqs = requests.selectExpr(
+        f"{_request_key_sql('conv_id', 'turn_idx')} AS node_key",
+        "'Request' AS node_type",
+        "path AS name",
+        "'corpus/' || conv_id AS file",
+        "turn_idx AS start",
+        "turn_idx AS `end`",
+        *_pad(
+            body="verb || ' ' || path",
+            hash_="md5(verb || ' ' || path)",
+            meta="'parent=turn_' || CAST(turn_idx AS STRING) || ';verb=' || verb",
+        ),
+    )
+
+    return convs.unionByName(imports).unionByName(turns).unionByName(reqs)
 
 
-def build_edges(
-    spark: SparkSession, transcripts: DataFrame, resolved: DataFrame, ent_nodes: DataFrame
+def global_nodes(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    ent_nodes: DataFrame,
+    first_def: DataFrame,
 ) -> DataFrame:
-    """All edge families, deduped on (edge_type, source_key, target_key)."""
-    en = ent_nodes.select(F.col("start").alias("eid"), "node_key", "canon_id")
-    en_b = F.broadcast(en)
+    """Repository / Language / Directory / Test / entity / Instance
+    nodes — derived from corpus-wide state (role strata, bucket list,
+    globally-first test definitions) or from the static dictionary."""
+    repo = spark.sql(
+        f"SELECT '{REPO_KEY}' AS node_key, 'Repository' AS node_type, "
+        "'corpus' AS name, 'corpus' AS file, 0 AS start, 0 AS `end`, "
+        "'' AS body, CAST(NULL AS STRING) AS docs, CAST(NULL AS STRING) AS hash, "
+        "CAST(NULL AS STRING) AS data_type, '' AS meta"
+    )
 
-    contains_repo = (
-        transcripts.select("conv_id")
-        .distinct()
-        .selectExpr(
-            "'CONTAINS' AS edge_type",
-            f"'{REPO_KEY}' AS source_key",
-            f"{_conv_key_sql('conv_id')} AS target_key",
+    langs = (
+        transcripts.select("role").distinct().selectExpr(
+            f"{_lang_key_sql('role')} AS node_key",
+            "'Language' AS node_type",
+            "role AS name",
+            "'corpus' AS file",
+            "0 AS start",
+            "0 AS `end`",
+            *_pad(meta="'parent=corpus'"),
         )
     )
-    contains_turn = transcripts.selectExpr(
-        "'CONTAINS' AS edge_type",
-        f"{_conv_key_sql('conv_id')} AS source_key",
-        f"{_turn_key_sql('conv_id', 'turn_idx')} AS target_key",
+
+    dirs = (
+        transcripts.selectExpr(f"{BUCKET_SQL} AS bucket").distinct().selectExpr(
+            f"{_dir_key_sql('bucket')} AS node_key",
+            "'Directory' AS node_type",
+            "bucket AS name",
+            "'corpus/' || bucket AS file",
+            "0 AS start",
+            "0 AS `end`",
+            *_pad(meta="'parent=corpus'"),
+        )
+    )
+
+    tests = first_def.selectExpr(
+        f"{_test_key_sql('tid', 'd_conv', 'd_turn')} AS node_key",
+        f"{TEST_TYPE_SQL.format(tid='tid')} AS node_type",
+        "'test_' || tid AS name",
+        "'corpus/' || d_conv AS file",
+        "d_turn AS start",
+        "d_turn AS `end`",
+        *_pad(
+            body="d_text",
+            hash_="md5(d_text)",
+            meta=f"'parent=' || d_conv || ';test_kind=' || {TEST_KIND_SQL.format(tid='tid')}",
+        ),
+    )
+
+    ents = ent_nodes.selectExpr(
+        "node_key", "node_type", "name", "file", "start", "start AS `end`",
+        "'' AS body", f"{NULL_S} AS docs", f"{NULL_S} AS hash", "data_type", "meta",
+    )
+    insts = instance_nodes(spark).selectExpr(
+        "node_key", "node_type", "name", "file", "start", "start AS `end`",
+        "'' AS body", f"{NULL_S} AS docs", f"{NULL_S} AS hash", "data_type", "meta",
+    )
+
+    return (
+        repo.unionByName(langs)
+        .unionByName(dirs)
+        .unionByName(tests)
+        .unionByName(ents)
+        .unionByName(insts)
+    )
+
+
+def build_nodes(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    ent_nodes: DataFrame,
+    first_def: DataFrame,
+    requests: DataFrame,
+) -> DataFrame:
+    return local_nodes(spark, transcripts, requests).unionByName(
+        global_nodes(spark, transcripts, ent_nodes, first_def)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edges
+# ---------------------------------------------------------------------------
+
+def _edge(df: DataFrame, edge_type: str, src: str, dst: str) -> DataFrame:
+    return df.selectExpr(
+        f"'{edge_type}' AS edge_type", f"{src} AS source_key", f"{dst} AS target_key"
+    )
+
+
+def req_matched(requests: DataFrame, ent_nodes: DataFrame) -> DataFrame:
+    """Requests equi-joined to their Endpoint entity on
+    (verb, norm_path) — the partitioned-join form of link_api_nodes
+    (linker.rs:129-163). Shared by CALLS(Request->Endpoint) and
+    HANDLER."""
+    spark = requests.sparkSession
+    en = ent_nodes.select(F.col("start").alias("eid"), "node_key")
+    eps = F.broadcast(E.endpoints_df(spark))
+    return (
+        requests.join(
+            eps,
+            (requests["verb"] == eps["verb"])
+            & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == requests["norm_path"]),
+        )
+        .drop(eps["verb"])
+        .join(F.broadcast(en), F.col("entity_id") == F.col("eid"))
+    )
+
+
+def local_edges(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    resolved: DataFrame,
+    ent_nodes: DataFrame,
+    requests: DataFrame,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """Bucket-pure edge families: every row is a function of one
+    conversation's rows + static dims."""
+    en = ent_nodes.select(F.col("start").alias("eid"), "node_key", "canon_id")
+    en_b = F.broadcast(en)
+    if matched is None:
+        matched = req_matched(requests, ent_nodes)
+
+    convs = transcripts.select("conv_id").distinct()
+    contains_conv = _edge(
+        convs.selectExpr("conv_id", f"{BUCKET_SQL} AS bucket"),
+        "CONTAINS", _dir_key_sql("bucket"), _conv_key_sql("conv_id"),
+    )
+    contains_turn = _edge(
+        transcripts, "CONTAINS", _conv_key_sql("conv_id"), _turn_key_sql("conv_id", "turn_idx")
+    )
+    import_convs = (
+        transcripts.where("role = 'system'")
+        .groupBy("conv_id")
+        .agg(F.expr("CAST(min(turn_idx) AS INT)").alias("istart"))
+    )
+    contains_import = _edge(
+        import_convs, "CONTAINS", _conv_key_sql("conv_id"), _import_key_sql("conv_id", "istart")
+    )
+    contains_request = _edge(
+        requests, "CONTAINS", _turn_key_sql("conv_id", "turn_idx"),
+        _request_key_sql("conv_id", "turn_idx"),
     )
 
     # USES: resolved mention -> canonical entity node. Two broadcast
@@ -193,110 +552,165 @@ def build_edges(
     canon_key = F.broadcast(
         en.select(F.col("eid").alias("canon_id"), F.col("node_key").alias("canon_key"))
     )
-    uses = (
+    uses = _edge(
         resolved.join(en_b, resolved["entity_id"] == en["eid"])
         .join(canon_key, "canon_id")
         .select("conv_id", "turn_idx", "canon_key")
-        .distinct()
-        .selectExpr(
-            "'USES' AS edge_type",
-            f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            "canon_key AS target_key",
-        )
+        .distinct(),
+        "USES", _turn_key_sql("conv_id", "turn_idx"), "canon_key",
     )
 
     tools = F.broadcast(E.tools_df(spark))
-    calls_tool = (
+    calls_tool = _edge(
         X.extract_tool_calls(transcripts)
         .join(tools, F.col("toolname") == tools["canonical_name"])
         .join(en_b, F.col("entity_id") == en["eid"])
         .select("conv_id", "turn_idx", "node_key")
-        .distinct()
-        .selectExpr(
-            "'CALLS' AS edge_type",
-            f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            "node_key AS target_key",
+        .distinct(),
+        "CALLS", _turn_key_sql("conv_id", "turn_idx"), "node_key",
+    )
+
+    calls_ep = _edge(
+        matched.select("conv_id", "turn_idx", "verb", "path", "node_key").distinct(),
+        "CALLS", _request_key_sql("conv_id", "turn_idx"), "node_key",
+    )
+
+    # ARG_OF: tool turn -> entity passed as the call argument
+    # (mod.rs:78). The (conv_id, turn_idx) join against the resolved
+    # mentions is co-partitioned by conv_id — no extra shuffle.
+    tool_turns = transcripts.where("tool != ''").select("conv_id", "turn_idx")
+    arg_of = _edge(
+        resolved.join(tool_turns, ["conv_id", "turn_idx"])
+        .join(en_b, resolved["entity_id"] == en["eid"])
+        .select("conv_id", "turn_idx", "node_key")
+        .distinct(),
+        "ARG_OF", _turn_key_sql("conv_id", "turn_idx"), "node_key",
+    )
+
+    # IMPORTS: conv File -> entities mentioned in turn 0 (the
+    # top-of-file import section analog, file_imports mod.rs:218-224)
+    imports_dyn = _edge(
+        resolved.where(F.col("turn_idx") == 0)
+        .join(en_b, resolved["entity_id"] == en["eid"])
+        .select("conv_id", "node_key")
+        .distinct(),
+        "IMPORTS", _conv_key_sql("conv_id"), "node_key",
+    )
+
+    # INCLUDES: Feature -> mentioning turn; RENDERS: Page ->
+    # mentioning turn (link_e2e_tests_pages analog, linker.rs:30-48)
+    def _typed_mention_edges(etype: str, node_type: str) -> DataFrame:
+        dim = F.broadcast(
+            ent_nodes.where(F.col("node_type") == node_type)
+            .select(F.col("start").alias("teid"), F.col("node_key").alias("src_key"))
         )
-    )
-
-    eps = F.broadcast(E.endpoints_df(spark))
-    requests = X.extract_requests(transcripts)
-    req_matched = requests.join(
-        eps,
-        (requests["verb"] == eps["verb"])
-        & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == requests["norm_path"]),
-    ).join(en_b, F.col("entity_id") == en["eid"])
-    # consumed by both calls_ep and handler: cache so the extraction
-    # scan runs once per action (MEMORY_AND_DISK default).
-    req_matched = req_matched.persist()
-    calls_ep = req_matched.select("conv_id", "turn_idx", "node_key").distinct().selectExpr(
-        "'CALLS' AS edge_type",
-        f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-        "node_key AS target_key",
-    )
-
-    # shared-test-id link: referencing turn -> globally-first defining
-    # turn (deterministic pick => parallelism-invariant).
-    defs = X.extract_test_defs(transcripts)
-    w_def = Window.partitionBy("tid").orderBy("conv_id", "turn_idx")
-    first_def = (
-        defs.withColumn("rk", F.row_number().over(w_def))
-        .where(F.col("rk") == 1)
-        .select("tid", F.col("conv_id").alias("d_conv"), F.col("turn_idx").alias("d_turn"))
-    )
-    calls_test = (
-        X.extract_test_refs(transcripts)
-        .join(F.broadcast(first_def), "tid")
-        .select("conv_id", "turn_idx", "d_conv", "d_turn")
-        .distinct()
-        .selectExpr(
-            "'CALLS' AS edge_type",
-            f"{_turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            f"{_turn_key_sql('d_conv', 'd_turn')} AS target_key",
+        return _edge(
+            resolved.join(dim, resolved["entity_id"] == F.col("teid"))
+            .select("conv_id", "turn_idx", "src_key")
+            .distinct(),
+            etype, "src_key", _turn_key_sql("conv_id", "turn_idx"),
         )
-    )
 
-    # HANDLER: endpoint -> globally-first referencing turn. Derived
-    # from req_matched (match is 1:1 per request row) so the requests
-    # subtree appears exactly once in the final plan.
-    w_req = Window.partitionBy("entity_id").orderBy("conv_id", "turn_idx")
-    handler = (
-        req_matched.withColumn("rk", F.row_number().over(w_req))
-        .where(F.col("rk") == 1)
-        .selectExpr(
-            "'HANDLER' AS edge_type",
-            "node_key AS source_key",
-            f"{_turn_key_sql('conv_id', 'turn_idx')} AS target_key",
-        )
-    )
+    includes = _typed_mention_edges("INCLUDES", "Feature")
+    renders = _typed_mention_edges("RENDERS", "Page")
 
-    of_edges = (
-        ent_nodes.where(F.col("canon_id") != F.col("start"))
-        .join(canon_key, "canon_id")
-        .selectExpr(
-            "'OF' AS edge_type",
-            "node_key AS source_key",
-            "canon_key AS target_key",
-        )
-    )
-
-    # Edge dedup (reference identity src-dst-type, array_graph.rs:
-    # 775-781) is done PER FAMILY on narrow conv_id-prefixed columns
-    # above — map-side only under the conv_id partitioning, before
-    # wide key strings exist. Families cannot collide across the
-    # union (CONTAINS/OF/HANDLER are unique by construction; the
-    # three CALLS families target disjoint key spaces: Library,
-    # Endpoint, and turn nodes), so no global dropDuplicates — at
-    # 10^12 turns that global shuffle of every edge was the single
-    # largest cost of the build.
     return (
-        contains_repo.unionByName(contains_turn)
+        contains_conv.unionByName(contains_turn)
+        .unionByName(contains_import)
+        .unionByName(contains_request)
         .unionByName(uses)
         .unionByName(calls_tool)
         .unionByName(calls_ep)
+        .unionByName(arg_of)
+        .unionByName(imports_dyn)
+        .unionByName(includes)
+        .unionByName(renders)
+    )
+
+
+def global_edges(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    ent_nodes: DataFrame,
+    first_def: DataFrame,
+    matched: DataFrame,
+) -> DataFrame:
+    """Cross-conversation edge families: scaffolding of the global
+    strata, test linking (depends on the corpus-wide first_def pick),
+    HANDLER (corpus-wide first request per endpoint), canonical-OF
+    and the static dictionary families."""
+    contains_lang = _edge(
+        transcripts.select("role").distinct(),
+        "CONTAINS", f"'{REPO_KEY}'", _lang_key_sql("role"),
+    )
+    buckets = transcripts.selectExpr(f"{BUCKET_SQL} AS bucket").distinct()
+    contains_dir = _edge(buckets, "CONTAINS", f"'{REPO_KEY}'", _dir_key_sql("bucket"))
+    contains_test = _edge(
+        first_def, "CONTAINS", _conv_key_sql("d_conv"), _test_key_sql("tid", "d_conv", "d_turn")
+    )
+
+    # CALLS: Test -> referencing turn (shared-test-id link,
+    # linker.rs:56-127; Test covers the Functions that reference it)
+    calls_test = _edge(
+        X.extract_test_refs(transcripts)
+        .join(F.broadcast(first_def.select("tid", "d_conv", "d_turn")), "tid")
+        .select("conv_id", "turn_idx", "tid", "d_conv", "d_turn")
+        .distinct(),
+        "CALLS", _test_key_sql("tid", "d_conv", "d_turn"), _turn_key_sql("conv_id", "turn_idx"),
+    )
+
+    # HANDLER: endpoint -> globally-first referencing turn
+    w_req = Window.partitionBy("entity_id").orderBy("conv_id", "turn_idx")
+    handler = _edge(
+        matched.withColumn("rk", F.row_number().over(w_req)).where(F.col("rk") == 1),
+        "HANDLER", "node_key", _turn_key_sql("conv_id", "turn_idx"),
+    )
+
+    # OF: alias-member entity -> canonical entity (the
+    # canonicalization collapse; add_instances analog)
+    canon_key = F.broadcast(
+        ent_nodes.selectExpr("start AS canon_id", "node_key AS canon_key")
+    )
+    of_canon = _edge(
+        ent_nodes.where(F.col("canon_id") != F.col("start")).join(canon_key, "canon_id"),
+        "OF", "node_key", "canon_key",
+    )
+
+    return (
+        contains_lang.unionByName(contains_dir)
+        .unionByName(contains_test)
         .unionByName(calls_test)
         .unionByName(handler)
-        .unionByName(of_edges)
+        .unionByName(of_canon)
+        .unionByName(static_edges(spark))
+    )
+
+
+def build_edges(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    resolved: DataFrame,
+    ent_nodes: DataFrame,
+    first_def: DataFrame,
+    requests: DataFrame,
+) -> DataFrame:
+    """All 12 edge families, deduped on (edge_type, source_key,
+    target_key) PER FAMILY on narrow conv_id-prefixed columns —
+    map-side only under the conv_id partitioning, before wide key
+    strings exist. Families cannot collide across the union:
+    CONTAINS sub-families target disjoint node-type key spaces; the
+    three CALLS families have disjoint source spaces (Function turns
+    / Request keys / Test keys); OF splits into entity->entity and
+    instance->entity; IMPORTS into File->entity and Class->Class;
+    the rest are unique by construction. So no global dropDuplicates
+    — at 10^12 turns that global shuffle of every edge was the
+    single largest cost of the build (test_edge_dedup_invariant
+    proves the invariant)."""
+    # consumed by both calls_ep (local) and handler (global): persist
+    # so the request-extraction scan runs once per action.
+    matched = req_matched(requests, ent_nodes).persist()
+    return local_edges(spark, transcripts, resolved, ent_nodes, requests, matched).unionByName(
+        global_edges(spark, transcripts, ent_nodes, first_def, matched)
     )
 
 

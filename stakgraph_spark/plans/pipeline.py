@@ -55,13 +55,20 @@ def build_graph(
     mentions = mentions_raw.distinct()
     resolved = L.link_mentions(spark, mentions_raw)
     ent_nodes = M.entity_nodes(spark)
-    nodes = M.build_nodes(spark, transcripts, ent_nodes)
-    edges = M.build_edges(spark, transcripts, resolved, ent_nodes)
+    # shared subtrees consumed by both node and edge materialization
+    # (plans, not results — identical subplans are deduplicated by
+    # Spark's ReusedExchange at execution time)
+    first_def = X.first_test_defs(transcripts)
+    requests = X.extract_requests(transcripts)
+    nodes = M.build_nodes(spark, transcripts, ent_nodes, first_def, requests)
+    edges = M.build_edges(spark, transcripts, resolved, ent_nodes, first_def, requests)
     return {
         "transcripts": transcripts,
         "mentions": mentions,
         "resolved": resolved,
         "ent_nodes": ent_nodes,
+        "first_def": first_def,
+        "requests": requests,
         "nodes": nodes,
         "edges": edges,
         "triples": M.triples(edges),

@@ -217,11 +217,15 @@ def endpoints_cte() -> str:
 def instances() -> list[tuple[int, int, str, str]]:
     """Instance rows (reference Instance nodes, collect.rs:22-23):
     one per alias of a Class-typed entity, carrying the class name as
-    data_type (asg.rs NodeData.data_type). -> (entity_id, alias_idx,
-    alias, class_name)."""
+    data_type (asg.rs NodeData.data_type). `line` = the alias row's
+    position in the dictionary (entity_id*3 + alias_idx) — the
+    Instance's 'line number', and the unique start for its node_key
+    (aliases like 'core' are shared by two classes at the same
+    alias_idx, so alias_idx alone would collide after sanitize).
+    -> (entity_id, line, alias, class_name)."""
     class_names = {i: n for i, n, t in ENTITIES if t == "Class"}
     return [
-        (eid, aidx, alias, class_names[eid])
+        (eid, eid * 3 + aidx, alias, class_names[eid])
         for eid, aidx, alias in ALIASES
         if eid in class_names
     ]
@@ -230,7 +234,7 @@ def instances() -> list[tuple[int, int, str, str]]:
 def instances_cte() -> str:
     return _union_all(
         instances(),
-        ["entity_id", "alias_idx", "alias", "class_name"],
+        ["entity_id", "line", "alias", "class_name"],
         ["INT", "INT", "STRING", "STRING"],
     )
 

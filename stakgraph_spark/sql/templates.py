@@ -92,6 +92,44 @@ def _ent_key(typ: str, name: str, eid: str) -> str:
     return node_key_sql(typ, name, "'entities'", eid, D)
 
 
+def _lang_key(role: str) -> str:
+    return node_key_sql("'Language'", role, "'corpus'", "0", D)
+
+
+def _dir_key(bucket: str) -> str:
+    return node_key_sql("'Directory'", bucket, f"'corpus/' || {bucket}", "0", D)
+
+
+def _import_key(conv: str, start: str) -> str:
+    return node_key_sql("'Import'", "'imports'", f"'corpus/' || {conv}", start, D)
+
+
+_TEST_TYPE = (
+    "CASE CAST({tid} AS INT) % 3 WHEN 0 THEN 'UnitTest' "
+    "WHEN 1 THEN 'IntegrationTest' ELSE 'E2etest' END"
+)
+_TEST_KIND = (
+    "CASE CAST({tid} AS INT) % 3 WHEN 0 THEN 'unit' "
+    "WHEN 1 THEN 'integration' ELSE 'e2e' END"
+)
+
+
+def _test_key(tid: str, conv: str, turn: str) -> str:
+    return node_key_sql(
+        _TEST_TYPE.format(tid=tid), f"'test_' || {tid}", f"'corpus/' || {conv}", turn, D
+    )
+
+
+def _request_key(conv: str, turn: str, path: str = "path", verb: str = "verb") -> str:
+    return node_key_sql(
+        "'Request'", path, f"'corpus/' || {conv}", turn, D, verb=verb
+    )
+
+
+_BUCKET = "substring(conv_id, 1, 9)"
+_NULL_S = "CAST(NULL AS STRING)"
+
+
 def transcripts_query(
     events_table: str = "events",
     aliases_table: str | None = None,
@@ -124,12 +162,22 @@ ev0 AS ({ev0})
 
 def prelude() -> str:
     """The full WITH RECURSIVE chain; append `SELECT ... FROM <cte>`."""
+    from ..functions.paths import normalize_backend_path_sql
+
+    norm_path = normalize_backend_path_sql(
+        "regexp_replace(path, '/[0-9]+', '/:param', 'g')", D
+    )
     return f"""WITH RECURSIVE
 ents AS ({E.entities_cte()}),
 als AS ({E.aliases_cte()}),
 tls AS ({E.tools_cte()}),
 eps AS ({E.endpoints_cte()}),
 sa AS ({E.same_as_cte()}),
+inst AS ({E.instances_cte()}),
+po AS ({E.parent_of_cte()}),
+ci AS ({E.class_imports_cte()}),
+ops AS ({E.operand_cte()}),
+impl AS ({E.implements_cte()}),
 ev0 AS ({_ev0_sql()}),
 transcripts AS ({_transcripts_sql()}),
 mentions AS (
@@ -138,24 +186,47 @@ mentions AS (
         FROM transcripts)
 ),
 tool_calls AS (
-  SELECT conv_id, turn_idx, regexp_extract(text, 'tool:([a-z]+)\\(', 1) AS toolname
-  FROM transcripts WHERE regexp_matches(text, 'tool:([a-z]+)\\(')
+  SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, 'tool:([a-z]+)\\(', 1)) AS toolname
+  FROM transcripts
 ),
 requests AS (
-  SELECT conv_id, turn_idx,
-         regexp_extract(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 1) AS verb,
-         regexp_extract(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 2) AS path,
-         regexp_replace(regexp_extract(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 2),
-                        '/[0-9]+', '/:param', 'g') AS norm_path
-  FROM transcripts WHERE regexp_matches(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)')
+  SELECT conv_id, turn_idx, verb, path, {norm_path} AS norm_path
+  FROM (SELECT conv_id, turn_idx,
+               split_part(m, ' ', 1) AS verb, split_part(m, ' ', 2) AS path
+        FROM (SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(text, '(GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.:-]+)', 0)) AS m
+              FROM transcripts))
 ),
 testrefs AS (
-  SELECT conv_id, turn_idx, regexp_extract(text, 'ref test_([0-9]+)', 1) AS tid
-  FROM transcripts WHERE regexp_matches(text, 'ref test_([0-9]+)')
+  SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, 'ref test_([0-9]+)', 1)) AS tid
+  FROM transcripts
 ),
 testdefs AS (
-  SELECT conv_id, turn_idx, regexp_extract(text, 'defines test_([0-9]+)', 1) AS tid
-  FROM transcripts WHERE regexp_matches(text, 'defines test_([0-9]+)')
+  SELECT conv_id, turn_idx, text, unnest(regexp_extract_all(text, 'defines test_([0-9]+)', 1)) AS tid
+  FROM transcripts
+),
+first_def AS (
+  SELECT tid, conv_id AS d_conv, turn_idx AS d_turn, text AS d_text FROM (
+    SELECT tid, conv_id, turn_idx, text,
+           row_number() OVER (PARTITION BY tid ORDER BY conv_id, turn_idx) AS rk
+    FROM testdefs) WHERE rk = 1
+),
+files AS (
+  SELECT conv_id, CAST(max(turn_idx) AS INT) AS fend,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS raw_body
+  FROM transcripts GROUP BY conv_id
+),
+importsecs AS (
+  SELECT conv_id, CAST(min(turn_idx) AS INT) AS istart, CAST(max(turn_idx) AS INT) AS iend,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS ibody
+  FROM transcripts WHERE role = 'system' GROUP BY conv_id
+),
+turnsx AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         last_value(CASE WHEN role = 'system' THEN text END IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS docs
+  FROM transcripts
 ),
 dct AS (
   SELECT DISTINCT a.alias, a.entity_id, e.canonical_name, e.entity_type,
@@ -212,31 +283,90 @@ canon AS (
 ent_nodes AS (
   SELECT {_ent_key('e.entity_type', 'e.canonical_name', 'e.entity_id')} AS node_key,
          e.entity_type AS node_type, e.canonical_name AS name,
-         'entities' AS file, e.entity_id AS start, c.canon_id AS canon_id
+         'entities' AS file, e.entity_id AS start, c.canon_id AS canon_id,
+         {_NULL_S} AS data_type,
+         CASE WHEN e.entity_type = 'Endpoint' THEN 'verb=' || ep.verb ELSE '' END AS meta
   FROM allents e JOIN canon c ON c.entity_id = e.entity_id
+  LEFT JOIN eps ep ON ep.entity_id = e.entity_id
+),
+inst_nodes AS (
+  SELECT {node_key_sql("'Instance'", 'alias', "'entities'", 'line', D)} AS node_key,
+         'Instance' AS node_type, alias AS name, 'entities' AS file,
+         line AS start, entity_id, class_name
+  FROM inst
 ),
 nodes AS (
   SELECT 'repository-corpus-corpus-0' AS node_key, 'Repository' AS node_type,
-         'corpus' AS name, 'corpus' AS file, 0 AS start
+         'corpus' AS name, 'corpus' AS file, 0 AS start, 0 AS "end",
+         '' AS body, {_NULL_S} AS docs, {_NULL_S} AS hash,
+         {_NULL_S} AS data_type, '' AS meta
   UNION ALL
-  SELECT DISTINCT {_conv_key('conv_id')} AS node_key, 'File' AS node_type,
-         conv_id AS name, 'corpus/' || conv_id AS file, 0 AS start
-  FROM transcripts
+  SELECT {_lang_key('role')}, 'Language', role, 'corpus', 0, 0,
+         '', {_NULL_S}, {_NULL_S}, {_NULL_S}, 'parent=corpus'
+  FROM (SELECT DISTINCT role FROM transcripts)
   UNION ALL
-  SELECT {_turn_key('conv_id', 'turn_idx')} AS node_key, 'Function' AS node_type,
-         'turn_' || CAST(turn_idx AS STRING) AS name, 'corpus/' || conv_id AS file,
-         turn_idx AS start
-  FROM transcripts
+  SELECT {_dir_key('bucket')}, 'Directory', bucket, 'corpus/' || bucket, 0, 0,
+         '', {_NULL_S}, {_NULL_S}, {_NULL_S}, 'parent=corpus'
+  FROM (SELECT DISTINCT {_BUCKET} AS bucket FROM transcripts)
   UNION ALL
-  SELECT node_key, node_type, name, file, start FROM ent_nodes
+  SELECT {_conv_key('conv_id')}, 'File', conv_id, 'corpus/' || conv_id, 0, fend,
+         fbody, {_NULL_S}, md5(fbody), {_NULL_S}, 'parent=' || {_BUCKET}
+  FROM (SELECT conv_id, fend,
+               CASE WHEN length(raw_body) > 500000 THEN '' ELSE raw_body END AS fbody
+        FROM files)
+  UNION ALL
+  SELECT {_import_key('conv_id', 'istart')}, 'Import', 'imports', 'corpus/' || conv_id,
+         istart, iend, ibody, {_NULL_S}, md5(ibody), {_NULL_S}, 'parent=' || conv_id
+  FROM importsecs
+  UNION ALL
+  SELECT {_turn_key('conv_id', 'turn_idx')}, 'Function',
+         'turn_' || CAST(turn_idx AS STRING), 'corpus/' || conv_id,
+         turn_idx, turn_idx, text, docs, md5(text), {_NULL_S},
+         'parent=' || conv_id || ';role=' || role ||
+         CASE WHEN tool != '' THEN ';tool=' || tool ELSE '' END
+  FROM turnsx
+  UNION ALL
+  SELECT {_test_key('tid', 'd_conv', 'd_turn')}, {_TEST_TYPE.format(tid='tid')},
+         'test_' || tid, 'corpus/' || d_conv, d_turn, d_turn,
+         d_text, {_NULL_S}, md5(d_text), {_NULL_S},
+         'parent=' || d_conv || ';test_kind=' || {_TEST_KIND.format(tid='tid')}
+  FROM first_def
+  UNION ALL
+  SELECT {_request_key('conv_id', 'turn_idx')}, 'Request', path, 'corpus/' || conv_id,
+         turn_idx, turn_idx, verb || ' ' || path, {_NULL_S}, md5(verb || ' ' || path),
+         {_NULL_S}, 'parent=turn_' || CAST(turn_idx AS STRING) || ';verb=' || verb
+  FROM requests
+  UNION ALL
+  SELECT node_key, node_type, name, file, start, start,
+         '', {_NULL_S}, {_NULL_S}, data_type, meta
+  FROM ent_nodes
+  UNION ALL
+  SELECT node_key, node_type, name, file, start, start,
+         '', {_NULL_S}, {_NULL_S}, class_name, ''
+  FROM inst_nodes
 ),
 edges_raw AS (
   SELECT 'CONTAINS' AS edge_type, {REPO_KEY} AS source_key,
-         {_conv_key('conv_id')} AS target_key
-  FROM (SELECT DISTINCT conv_id FROM transcripts)
+         {_lang_key('role')} AS target_key
+  FROM (SELECT DISTINCT role FROM transcripts)
+  UNION ALL
+  SELECT 'CONTAINS', {REPO_KEY}, {_dir_key('bucket')}
+  FROM (SELECT DISTINCT {_BUCKET} AS bucket FROM transcripts)
+  UNION ALL
+  SELECT 'CONTAINS', {_dir_key('bucket')}, {_conv_key('conv_id')}
+  FROM (SELECT DISTINCT conv_id, {_BUCKET} AS bucket FROM transcripts)
   UNION ALL
   SELECT 'CONTAINS', {_conv_key('conv_id')}, {_turn_key('conv_id', 'turn_idx')}
   FROM transcripts
+  UNION ALL
+  SELECT 'CONTAINS', {_conv_key('conv_id')}, {_import_key('conv_id', 'istart')}
+  FROM importsecs
+  UNION ALL
+  SELECT 'CONTAINS', {_conv_key('d_conv')}, {_test_key('tid', 'd_conv', 'd_turn')}
+  FROM first_def
+  UNION ALL
+  SELECT 'CONTAINS', {_turn_key('conv_id', 'turn_idx')}, {_request_key('conv_id', 'turn_idx')}
+  FROM requests
   UNION ALL
   SELECT 'USES', {_turn_key('r.conv_id', 'r.turn_idx')}, en.node_key
   FROM resolved r
@@ -248,17 +378,13 @@ edges_raw AS (
   JOIN tls t ON t.canonical_name = tc.toolname
   JOIN ent_nodes en ON en.start = t.entity_id
   UNION ALL
-  SELECT 'CALLS', {_turn_key('r.conv_id', 'r.turn_idx')}, en.node_key
-  FROM requests r
+  SELECT 'CALLS', {_request_key('r.conv_id', 'r.turn_idx', 'r.path', 'r.verb')}, en.node_key
+  FROM (SELECT conv_id, turn_idx, verb, path, norm_path FROM requests) r
   JOIN eps ep ON ep.verb = r.verb AND '/api/' || ep.seg || '/:param' = r.norm_path
   JOIN ent_nodes en ON en.start = ep.entity_id
   UNION ALL
-  SELECT 'CALLS', {_turn_key('tr.conv_id', 'tr.turn_idx')}, {_turn_key('td.conv_id', 'td.turn_idx')}
-  FROM testrefs tr
-  JOIN (SELECT tid, conv_id, turn_idx FROM (
-          SELECT tid, conv_id, turn_idx,
-                 row_number() OVER (PARTITION BY tid ORDER BY conv_id, turn_idx) AS rk
-          FROM testdefs) WHERE rk = 1) td ON td.tid = tr.tid
+  SELECT 'CALLS', {_test_key('td.tid', 'td.d_conv', 'td.d_turn')}, {_turn_key('tr.conv_id', 'tr.turn_idx')}
+  FROM testrefs tr JOIN first_def td ON td.tid = tr.tid
   UNION ALL
   SELECT 'HANDLER', en.node_key, {_turn_key('fr.conv_id', 'fr.turn_idx')}
   FROM (SELECT verb, norm_path, conv_id, turn_idx FROM (
@@ -270,6 +396,36 @@ edges_raw AS (
   SELECT 'OF', en.node_key, ec.node_key
   FROM ent_nodes en JOIN ent_nodes ec ON ec.start = en.canon_id
   WHERE en.canon_id <> en.start
+  UNION ALL
+  SELECT 'OF', i.node_key, en.node_key
+  FROM inst_nodes i JOIN ent_nodes en ON en.start = i.entity_id
+  UNION ALL
+  SELECT 'ARG_OF', {_turn_key('r.conv_id', 'r.turn_idx')}, en.node_key
+  FROM resolved r
+  JOIN transcripts t ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx AND t.tool != ''
+  JOIN ent_nodes en ON en.start = r.entity_id
+  UNION ALL
+  SELECT DISTINCT 'IMPORTS', {_conv_key('r.conv_id')}, en.node_key
+  FROM resolved r JOIN ent_nodes en ON en.start = r.entity_id
+  WHERE r.turn_idx = 0
+  UNION ALL
+  SELECT 'INCLUDES', en.node_key, {_turn_key('r.conv_id', 'r.turn_idx')}
+  FROM resolved r JOIN ent_nodes en ON en.start = r.entity_id AND en.node_type = 'Feature'
+  UNION ALL
+  SELECT 'RENDERS', en.node_key, {_turn_key('r.conv_id', 'r.turn_idx')}
+  FROM resolved r JOIN ent_nodes en ON en.start = r.entity_id AND en.node_type = 'Page'
+  UNION ALL
+  SELECT 'PARENT_OF', s.node_key, d.node_key
+  FROM po JOIN ent_nodes s ON s.start = po.src_id JOIN ent_nodes d ON d.start = po.dst_id
+  UNION ALL
+  SELECT 'IMPORTS', s.node_key, d.node_key
+  FROM ci JOIN ent_nodes s ON s.start = ci.src_id JOIN ent_nodes d ON d.start = ci.dst_id
+  UNION ALL
+  SELECT 'OPERAND', s.node_key, d.node_key
+  FROM ops JOIN ent_nodes s ON s.start = ops.src_id JOIN ent_nodes d ON d.start = ops.dst_id
+  UNION ALL
+  SELECT 'IMPLEMENTS', s.node_key, d.node_key
+  FROM impl JOIN ent_nodes s ON s.start = impl.src_id JOIN ent_nodes d ON d.start = impl.dst_id
 ),
 edges AS (SELECT DISTINCT edge_type, source_key, target_key FROM edges_raw),
 triples AS (SELECT source_key AS subj, edge_type AS pred, target_key AS obj FROM edges)

@@ -57,129 +57,6 @@ def _unit_expr(n_buckets: int):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
-def global_dims(spark: SparkSession, transcripts: DataFrame) -> dict[str, DataFrame]:
-    """The tiny cross-conversation dims every bucket build joins
-    against: first test-definition per tid, and the HANDLER edges
-    (globally-first request per endpoint)."""
-    defs = X.extract_test_defs(transcripts)
-    w_def = Window.partitionBy("tid").orderBy("conv_id", "turn_idx")
-    first_def = (
-        defs.withColumn("rk", F.row_number().over(w_def))
-        .where(F.col("rk") == 1)
-        .select("tid", F.col("conv_id").alias("d_conv"), F.col("turn_idx").alias("d_turn"))
-    )
-
-    en = M.entity_nodes(spark)
-    eps = F.broadcast(E.endpoints_df(spark))
-    requests = X.extract_requests(transcripts)
-    req_matched = requests.join(
-        eps,
-        (requests["verb"] == eps["verb"])
-        & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == requests["norm_path"]),
-    ).join(
-        F.broadcast(en.select(F.col("start").alias("eid"), "node_key")),
-        F.col("entity_id") == F.col("eid"),
-    )
-    w_req = Window.partitionBy("entity_id").orderBy("conv_id", "turn_idx")
-    handler_edges = (
-        req_matched.withColumn("rk", F.row_number().over(w_req))
-        .where(F.col("rk") == 1)
-        .selectExpr(
-            "'HANDLER' AS edge_type",
-            "node_key AS source_key",
-            f"{M._turn_key_sql('conv_id', 'turn_idx')} AS target_key",
-        )
-    )
-    return {"first_def": first_def, "handler_edges": handler_edges}
-
-
-def _build_bucket_edges(
-    spark: SparkSession,
-    bucket_transcripts: DataFrame,
-    first_def: DataFrame,
-    ent_nodes: DataFrame,
-) -> DataFrame:
-    """Conv-local edge families for one bucket (global families —
-    HANDLER, OF — live in the globals unit)."""
-    en = ent_nodes.select(F.col("start").alias("eid"), "node_key", "canon_id")
-    en_b = F.broadcast(en)
-    canon_key = F.broadcast(
-        en.select(F.col("eid").alias("canon_id"), F.col("node_key").alias("canon_key"))
-    )
-
-    t = bucket_transcripts
-    contains_repo = t.select("conv_id").distinct().selectExpr(
-        "'CONTAINS' AS edge_type",
-        f"'{M.REPO_KEY}' AS source_key",
-        f"{M._conv_key_sql('conv_id')} AS target_key",
-    )
-    contains_turn = t.selectExpr(
-        "'CONTAINS' AS edge_type",
-        f"{M._conv_key_sql('conv_id')} AS source_key",
-        f"{M._turn_key_sql('conv_id', 'turn_idx')} AS target_key",
-    )
-    resolved = L.link_mentions(spark, X.extract_mentions_raw(t))
-    uses = (
-        resolved.join(en_b, resolved["entity_id"] == en["eid"])
-        .join(canon_key, "canon_id")
-        .select("conv_id", "turn_idx", "canon_key")
-        .distinct()
-        .selectExpr(
-            "'USES' AS edge_type",
-            f"{M._turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            "canon_key AS target_key",
-        )
-    )
-    tools = F.broadcast(E.tools_df(spark))
-    calls_tool = (
-        X.extract_tool_calls(t)
-        .join(tools, F.col("toolname") == tools["canonical_name"])
-        .join(en_b, F.col("entity_id") == en["eid"])
-        .select("conv_id", "turn_idx", "node_key")
-        .distinct()
-        .selectExpr(
-            "'CALLS' AS edge_type",
-            f"{M._turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            "node_key AS target_key",
-        )
-    )
-    eps = F.broadcast(E.endpoints_df(spark))
-    requests = X.extract_requests(t)
-    calls_ep = (
-        requests.join(
-            eps,
-            (requests["verb"] == eps["verb"])
-            & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == requests["norm_path"]),
-        )
-        .join(en_b, F.col("entity_id") == en["eid"])
-        .select("conv_id", "turn_idx", "node_key")
-        .distinct()
-        .selectExpr(
-            "'CALLS' AS edge_type",
-            f"{M._turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            "node_key AS target_key",
-        )
-    )
-    calls_test = (
-        X.extract_test_refs(t)
-        .join(F.broadcast(first_def), "tid")
-        .select("conv_id", "turn_idx", "d_conv", "d_turn")
-        .distinct()
-        .selectExpr(
-            "'CALLS' AS edge_type",
-            f"{M._turn_key_sql('conv_id', 'turn_idx')} AS source_key",
-            f"{M._turn_key_sql('d_conv', 'd_turn')} AS target_key",
-        )
-    )
-    return (
-        contains_repo.unionByName(contains_turn)
-        .unionByName(uses)
-        .unionByName(calls_tool)
-        .unionByName(calls_ep)
-        .unionByName(calls_test)
-    )
-
-
 class ResumableBuilder:
     """Directory layout:
         out_dir/manifest/            parquet, one row per finished unit
@@ -247,34 +124,35 @@ class ResumableBuilder:
         transcripts = transcripts.persist()
         done = self.completed_units(spark)
         ent_nodes = M.entity_nodes(spark)
-        dims = global_dims(spark, transcripts)
-        first_def = dims["first_def"].persist()
+        first_def = X.first_test_defs(transcripts).persist()
         units_done = 0
 
-        # unit 0: globals (static nodes + global edge families)
+        # unit 0: globals — every family that consults corpus-wide
+        # state (role/bucket strata, the globally-first test
+        # definition per tid, the globally-first request per
+        # endpoint) plus the static dictionary nodes/edges. Its
+        # fingerprint covers the WHOLE corpus, so any edit that moves
+        # a cross-bucket pick (e.g. the first defining turn of a tid)
+        # rebuilds the globals unit — bucket units depend only on
+        # their own rows + static dims, which is what makes the
+        # union of units byte-equal to a single-shot build under any
+        # edit (the graph_accuracy.rs equivalence, and the fix for
+        # the cross-bucket-staleness hazard of keying first_def-
+        # dependent edges to bucket fingerprints).
         g_fp = self._fingerprint(transcripts)
         if done.get("globals") != g_fp:
             t0 = time.time()
-            repo_and_entities = spark.createDataFrame(
-                [(M.REPO_KEY, "Repository", "corpus", "corpus", 0)],
-                "node_key STRING, node_type STRING, name STRING, file STRING, start INT",
-            ).unionByName(ent_nodes.select("node_key", "node_type", "name", "file", "start"))
-            of_edges = (
-                ent_nodes.where(F.col("canon_id") != F.col("start"))
-                .join(
-                    ent_nodes.selectExpr("start AS canon_id", "node_key AS canon_key"),
-                    "canon_id",
-                )
-                .selectExpr("'OF' AS edge_type", "node_key AS source_key", "canon_key AS target_key")
-            )
-            g_edges = of_edges.unionByName(dims["handler_edges"])
-            n_n, n_e = self._write_unit("globals", repo_and_entities, g_edges)
+            g_nodes = M.global_nodes(spark, transcripts, ent_nodes, first_def)
+            matched = M.req_matched(X.extract_requests(transcripts), ent_nodes)
+            g_edges = M.global_edges(spark, transcripts, ent_nodes, first_def, matched)
+            n_n, n_e = self._write_unit("globals", g_nodes, g_edges)
             self._record(spark, "globals", g_fp, n_n, n_e, time.time() - t0)
             units_done += 1
             if fail_after_units is not None and units_done >= fail_after_units:
                 raise KillSwitch(f"simulated crash after {units_done} units")
 
-        # conv-hash bucket units
+        # conv-hash bucket units: output is a pure function of the
+        # bucket's own rows + static dims (local_nodes/local_edges)
         for b in range(self.n_buckets):
             unit = f"b{b:04d}"
             sub = transcripts.where(_unit_expr(self.n_buckets) == b)
@@ -282,12 +160,10 @@ class ResumableBuilder:
             if done.get(unit) == fp:
                 continue
             t0 = time.time()
-            nodes = M.build_nodes(spark, sub, ent_nodes).where(
-                ~F.col("node_type").isin("Repository")
-            ).join(
-                ent_nodes.select("node_key"), "node_key", "left_anti"
-            )  # conv/turn nodes only; statics live in globals
-            edges = _build_bucket_edges(spark, sub, first_def, ent_nodes)
+            requests = X.extract_requests(sub)
+            resolved = L.link_mentions(spark, X.extract_mentions_raw(sub))
+            nodes = M.local_nodes(spark, sub, requests)
+            edges = M.local_edges(spark, sub, resolved, ent_nodes, requests)
             n_n, n_e = self._write_unit(unit, nodes, edges)
             self._record(spark, unit, fp, n_n, n_e, time.time() - t0)
             units_done += 1

@@ -12,17 +12,64 @@ from tests.conftest import SF_SMALL
 def test_census_sf0001(spark):
     g = build_from_sf_dir(spark, SF_SMALL)
     node_census = {r["node_type"]: r["n"] for r in g["nodes"].groupBy("node_type").agg(F.count("*").alias("n")).collect()}
+    # ALL 19 reference NodeTypes present (mod.rs:27-50)
+    assert len(node_census) == 19
     # 1000 turns + entity 13 (FnResolver, type Function)
     assert node_census["Function"] == 1001
     assert node_census["Repository"] == 1
     assert node_census["File"] == 15  # 15 users at sf0.001
     assert node_census["Endpoint"] == 5
     assert node_census["Library"] == 4  # CoreUtils + 3 tools
+    assert node_census["Language"] == 4  # one per role stratum
+    assert node_census["Directory"] == 1  # 15 users -> one conv_0000 bucket
+    assert node_census["Import"] == 15  # every conv has >=1 system turn
+    assert node_census["Instance"] == 39  # 13 Class entities x 3 aliases
+    # 50 planted test ids classified tid%3 (17 unit / 17 integration / 16 e2e)
+    assert node_census["UnitTest"] == 17
+    assert node_census["IntegrationTest"] == 17
+    assert node_census["E2etest"] == 16
+    assert node_census["Request"] == 202  # one per assistant turn
     edge_census = {r["edge_type"]: r["n"] for r in g["edges"].groupBy("edge_type").agg(F.count("*").alias("n")).collect()}
-    assert edge_census["CONTAINS"] == 1015  # 15 repo->conv + 1000 conv->turn
-    assert edge_census["OF"] == 3  # 6->5, 18->17, 19->17
+    # ALL 12 reference EdgeTypes present (mod.rs:71-88)
+    assert len(edge_census) == 12
+    # 4 repo->lang + 1 repo->dir + 15 dir->conv + 1000 conv->turn
+    # + 15 conv->import + 50 conv->test + 202 turn->request
+    assert edge_census["CONTAINS"] == 1287
+    assert edge_census["OF"] == 42  # 3 canon-collapse + 39 Instance->Class
     assert edge_census["HANDLER"] == 5
-    assert g["triples"].count() == 2516
+    assert edge_census["PARENT_OF"] == 2
+    assert edge_census["IMPLEMENTS"] == 2
+    assert edge_census["OPERAND"] == 2
+    assert edge_census["ARG_OF"] == 201  # one per tool turn's argument mention
+    assert g["triples"].count() == 3102
+
+
+def test_node_payload_sf0001(spark):
+    """NodeData payload parity (asg.rs:66-82): body/docs/hash/meta."""
+    g = build_from_sf_dir(spark, SF_SMALL)
+    nodes = g["nodes"]
+    # every turn node carries its text as body and md5(body) as hash
+    turn = nodes.where("node_type = 'Function' AND file = 'corpus/conv_000000' AND start = 0").first()
+    assert turn["body"] and turn["hash"] is not None
+    assert "role=" in turn["meta"] and "parent=conv_000000" in turn["meta"]
+    # File body = ordered newline rollup of its turns; hash matches
+    f = nodes.where("node_type = 'File' AND name = 'conv_000000'").first()
+    n_turns = nodes.where("node_type = 'Function' AND file = 'corpus/conv_000000'").count()
+    assert f["body"].count("\n") == n_turns - 1
+    assert f["end"] == n_turns - 1
+    # docs = nearest preceding system turn (attach_function_comments analog)
+    docs = nodes.where(
+        "node_type = 'Function' AND file = 'corpus/conv_000000' AND docs IS NOT NULL"
+    ).first()
+    assert docs is None or docs["docs"].startswith("sys ")
+    # Instance carries its class as data_type
+    # 'ordersvc' is an alias of both OrderService (line 1) and
+    # MockOrderService (line 43) — two distinct Instance nodes
+    insts = {r["start"]: r["data_type"] for r in nodes.where("node_type = 'Instance' AND name = 'ordersvc'").collect()}
+    assert insts == {1: "OrderService", 43: "MockOrderService"}
+    # Endpoint meta carries the verb
+    ep = nodes.where("node_type = 'Endpoint'").first()
+    assert ep["meta"].startswith("verb=")
 
 
 def test_case_variant_never_links(spark):

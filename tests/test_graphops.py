@@ -61,20 +61,26 @@ def test_jsonl_roundtrip(spark):
 def test_shortest_path_and_has_edge(spark):
     g = _g(spark)
     e = g["edges"]
-    # repo -> some conversation -> some turn: depth-2 path exists
-    conv_key = (
+    # scaffold is repo -> directory -> conversation -> turn
+    dir_key = (
         e.where("edge_type = 'CONTAINS' AND source_key = '" + REPO_KEY + "'")
+        .where("target_key LIKE 'directory-%'")
+        .select("target_key").first()["target_key"]
+    )
+    conv_key = (
+        e.where(f"edge_type = 'CONTAINS' AND source_key = '{dir_key}'")
         .select("target_key").first()["target_key"]
     )
     turn_key = (
         e.where(f"edge_type = 'CONTAINS' AND source_key = '{conv_key}'")
+        .where("target_key LIKE 'function-%'")
         .select("target_key").first()["target_key"]
     )
-    assert Q.has_edge(e, REPO_KEY, conv_key, "CONTAINS")
-    assert not Q.has_edge(e, conv_key, REPO_KEY, "CONTAINS")
-    path = Q.shortest_path(e, REPO_KEY, turn_key, max_depth=4)
+    assert Q.has_edge(e, REPO_KEY, dir_key, "CONTAINS")
+    assert not Q.has_edge(e, dir_key, REPO_KEY, "CONTAINS")
+    path = Q.shortest_path(e, REPO_KEY, turn_key, max_depth=5)
     assert path is not None and path[0] == REPO_KEY and path[-1] == turn_key
-    assert len(path) == 3  # repo -> conv -> turn
+    assert len(path) == 4  # repo -> dir -> conv -> turn
 
 
 def test_paginate_deterministic(spark):

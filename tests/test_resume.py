@@ -102,3 +102,42 @@ def test_streaming_ingest_matches_batch(spark):
     got = got.sort_values(list(got.columns)).reset_index(drop=True)
     want = want.sort_values(list(want.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_update_moving_global_first_def(spark):
+    """Regression for the cross-bucket staleness hazard: an edit in
+    bucket A that MOVES the globally-first defining turn of a tid
+    must leave the store equal to a single-shot rebuild — including
+    CALLS edges in unchanged buckets that reference the moved test
+    node. Covered because every first_def-dependent family lives in
+    the globals unit, whose fingerprint spans the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from stakgraph_spark.operators.extract import first_test_defs
+
+    tr = read_transcripts(spark, SF_SMALL).persist()
+    # the current first definer of some tid
+    fd = first_test_defs(tr).orderBy("tid").first()
+    tid, d_conv, d_turn = fd["tid"], fd["d_conv"], fd["d_turn"]
+    # rewrite that one defining turn to define a DIFFERENT tid ->
+    # tid's first_def moves to the next-earliest definer (most likely
+    # in another conversation/bucket)
+    tr2 = tr.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == d_conv) & (F.col("turn_idx") == d_turn),
+            F.regexp_replace("text", f"defines test_{tid}$", "defines test_901"),
+        ).otherwise(F.col("text")),
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_move_")
+    b = ResumableBuilder(out, n_buckets=4)
+    try:
+        b.run(spark, tr)
+        rebuilt = b.update_incremental(spark, tr2)
+        assert "globals" in rebuilt  # the moved pick forces a globals rebuild
+        single = _triples_pdf(build_graph(spark, tr2)["edges"])
+        pd.testing.assert_frame_equal(single, _triples_pdf(b.edges(spark)))
+    finally:
+        b.destroy()
+        tr.unpersist()
