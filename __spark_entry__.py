@@ -347,6 +347,123 @@ def _q_media_features(spark, sf_dir):
     return extract_features(attach_media(_docs(spark, sf_dir))).drop("feat")
 
 
+# --- link_api_nodes parity surface (linker.rs:165-266) over the
+# planted template-var path dims (functions/paths.py) ---
+
+def _q_path_norm(spark, sf_dir):
+    from stakgraph_spark.functions import paths as P
+
+    return spark.sql(
+        f"SELECT 'request' AS kind, req_id AS id, raw,"
+        f" {P.normalize_frontend_path_sql('raw', 'spark')} AS norm"
+        f" FROM ({P.request_paths_cte()})"
+        f" UNION ALL SELECT 'endpoint' AS kind, ep_id AS id, raw,"
+        f" {P.normalize_backend_path_sql('raw', 'spark')} AS norm"
+        f" FROM ({P.endpoint_paths_cte()})"
+    )
+
+
+def _q_paths_match(spark, sf_dir):
+    """The reference's request->endpoint match (normalized frontend
+    path vs RAW endpoint name, linker.rs:151-154) as a partitioned
+    equi-join on (verb, n_segments) with the segment-wise zip
+    predicate as the join residual — the O(n*m) nested loop
+    (linker.rs:151-159) becomes shuffle-key work."""
+    from stakgraph_spark.functions import paths as P
+
+    norm = P.normalize_frontend_path_sql("raw", "spark")
+    return spark.sql(
+        f"WITH r AS (SELECT req_id, verb, norm FROM (SELECT req_id, verb, {norm} AS norm"
+        f" FROM ({P.request_paths_cte()})) WHERE norm IS NOT NULL),"
+        f" e AS (SELECT ep_id, verb, raw FROM ({P.endpoint_paths_cte()}))"
+        f" SELECT r.req_id, e.ep_id FROM r JOIN e ON r.verb = e.verb"
+        f" AND {P.n_segments_sql('r.norm', 'spark')} = {P.n_segments_sql('e.raw', 'spark')}"
+        f" AND {P.paths_match_sql('r.norm', 'e.raw', 'spark')}"
+    )
+
+
+# --- query-surface widening: body search, token census, clean_graph,
+# point lookups, repo map ---
+
+def _q_search_body(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import search_nodes
+
+    return search_nodes(
+        _graph(spark, sf_dir)["nodes"], "orders defines", limit=10, include_body=True
+    ).select("node_key", "node_type", "name", "file", "start", "score")
+
+
+def _q_token_census(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import token_census
+
+    return token_census(_graph(spark, sf_dir)["nodes"])
+
+
+def _q_clean_graph(spark, sf_dir):
+    """clean_graph (array_graph.rs:527-586): drop conv_000000's turn
+    nodes (a rev-filter analog), then remove childless File parents
+    with cascade edge delete — returns the surviving edges."""
+    from stakgraph_spark.operators.setops import clean_graph
+
+    g = _graph(spark, sf_dir)
+    nodes_f = g["nodes"].where(
+        "NOT (node_type = 'Function' AND file = 'corpus/conv_000000')"
+    )
+    _, edges2 = clean_graph(nodes_f, g["edges"], "File", "Function")
+    return edges2
+
+
+def _q_find_endpoint(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import find_endpoint
+
+    return find_endpoint(
+        _graph(spark, sf_dir)["nodes"], "GET /api/orders/:param", "entities", "GET"
+    )
+
+
+def _q_resource_nodes(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import find_resource_nodes
+
+    return find_resource_nodes(_graph(spark, sf_dir)["nodes"], "GET", "orders")
+
+
+def _q_source_edge(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import find_source_edge_by_name_and_file
+
+    g = _graph(spark, sf_dir)
+    return find_source_edge_by_name_and_file(g["edges"], g["nodes"], "FeatureFlags", "entities")
+
+
+def _q_repo_map(spark, sf_dir):
+    from stakgraph_spark.operators.materialize import REPO_KEY
+    from stakgraph_spark.operators.queryops import repo_map
+
+    g = _graph(spark, sf_dir)
+    return repo_map(g["nodes"], g["edges"], REPO_KEY, depth=3)
+
+
+# --- additional rule packs (packs-as-data, Stack-trait analog) ---
+
+def _q_tool_calls_rulepack(spark, sf_dir):
+    from stakgraph_spark.operators.extract import RULEPACK_REGISTRY, extract_mentions_rulepack
+    from stakgraph_spark.sources.transcripts import read_transcripts
+
+    return (
+        extract_mentions_rulepack(read_transcripts(spark, sf_dir), RULEPACK_REGISTRY["tool_calls"])
+        .selectExpr("conv_id", "turn_idx", "surface AS toolname")
+    )
+
+
+def _q_testrefs_rulepack(spark, sf_dir):
+    from stakgraph_spark.operators.extract import RULEPACK_REGISTRY, extract_mentions_rulepack
+    from stakgraph_spark.sources.transcripts import read_transcripts
+
+    return (
+        extract_mentions_rulepack(read_transcripts(spark, sf_dir), RULEPACK_REGISTRY["test_refs"])
+        .selectExpr("conv_id", "turn_idx", "surface AS tid")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline stages
@@ -397,6 +514,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_chunk_text": _q_chunk_text,
         "em_weighted_pool": _q_weighted_pool,
         "em_token_join": _q_token_join,
+        # link_api_nodes parity (template-var path normalize + match)
+        "kg_path_norm": _q_path_norm,
+        "kg_paths_match": _q_paths_match,
+        # query-surface widening
+        "qs_search_body": _q_search_body,
+        "qs_token_census": _q_token_census,
+        "so_clean_graph": _q_clean_graph,
+        "qs_find_endpoint": _q_find_endpoint,
+        "qs_resource_nodes": _q_resource_nodes,
+        "qs_source_edge": _q_source_edge,
+        "qs_repo_map": _q_repo_map,
+        # additional rule packs
+        "kg_tool_calls_rulepack": _q_tool_calls_rulepack,
+        "kg_testrefs_rulepack": _q_testrefs_rulepack,
         # multimodal plumbing (pandas-UDF decode stub)
         "mm_media_features": _q_media_features,
     }
@@ -412,10 +543,33 @@ def oracle_sql() -> dict[str, str]:
     from stakgraph_spark.sql import data_templates as DT
     from stakgraph_spark.sql.templates import q, subtree_sql
 
+    from stakgraph_spark.functions import paths as P
+
     search_terms = ["order", "service"]
     score = " + ".join(
-        f"(CASE WHEN contains(lower(name), '{t}') THEN 1 ELSE 0 END)" for t in search_terms
+        f"(CASE WHEN contains(lower(name), '{t}') THEN 2 ELSE 0 END)" for t in search_terms
     )
+    body_terms = ["orders", "defines"]
+    body_score = " + ".join(
+        f"(CASE WHEN contains(lower(name), '{t}') THEN 2 ELSE 0 END)"
+        f" + (CASE WHEN contains(lower(body), '{t}') THEN 1 ELSE 0 END)"
+        for t in body_terms
+    )
+    fe_norm = P.normalize_frontend_path_sql("raw", "duckdb")
+    repo_map_ctes = """,
+nmap AS (SELECT node_key, name,
+         CAST(len(string_split_regex(trim(body), '\\s+')) AS BIGINT) AS tokens
+         FROM nodes),
+walk AS (
+  SELECT node_key, name AS path, name, tokens FROM nmap
+  WHERE node_key = 'repository-corpus-corpus-0'
+  UNION ALL
+  SELECT n.node_key, w.path || '/' || n.name AS path, n.name, n.tokens
+  FROM walk w
+  JOIN edges e ON e.source_key = w.node_key AND e.edge_type = 'CONTAINS'
+  JOIN nmap n ON n.node_key = e.target_key
+  WHERE length(w.path) - length(replace(w.path, '/', '')) < 3
+)"""
     qs_oracles = {
         "qs_find_class_nodes": q("SELECT * FROM nodes WHERE node_type = 'Class'"),
         "qs_name_contains": q(
@@ -456,6 +610,65 @@ def oracle_sql() -> dict[str, str]:
             " AND e.edge_type IN ('USES','CALLS')) ORDER BY node_key"
         ),
         "qs_subtree": subtree_sql(REPO_KEY, 3, "CONTAINS"),
+        "qs_search_body": q(
+            f"SELECT node_key, node_type, name, file, start, CAST({body_score} AS INT) AS score"
+            " FROM nodes"
+            " WHERE node_type NOT IN ('UnitTest','IntegrationTest','E2etest')"
+            f" AND {body_score} > 0"
+            f" ORDER BY {body_score} DESC, node_key ASC LIMIT 10"
+        ),
+        "qs_token_census": q(
+            "SELECT node_type, CAST(sum(len(string_split_regex(trim(body), '\\s+')))"
+            " AS BIGINT) AS total_tokens FROM nodes GROUP BY node_type"
+        ),
+        "so_clean_graph": q(
+            "SELECT edge_type, source_key, target_key FROM edges"
+            " WHERE source_key NOT IN (SELECT node_key FROM removedk)"
+            " AND target_key NOT IN (SELECT node_key FROM removedk)",
+            extra_ctes=""",
+kept_parents AS (
+  SELECT DISTINCT regexp_extract(meta, '(^|;)parent=([^;]*)', 2) AS name
+  FROM nodes WHERE node_type = 'Function' AND file != 'corpus/conv_000000'),
+removedk AS (
+  SELECT node_key FROM nodes
+  WHERE node_type = 'File' AND name NOT IN (SELECT name FROM kept_parents))""",
+        ),
+        "qs_find_endpoint": q(
+            "SELECT * FROM nodes WHERE node_type = 'Endpoint'"
+            " AND name = 'GET /api/orders/:param' AND file = 'entities'"
+            " AND regexp_extract(meta, '(^|;)verb=([^;]*)', 2) = 'GET'"
+        ),
+        "qs_resource_nodes": q(
+            "SELECT * FROM nodes WHERE node_type = 'Endpoint'"
+            " AND contains(lower(name), 'orders')"
+            " AND contains(regexp_extract(meta, '(^|;)verb=([^;]*)', 2), 'GET')"
+        ),
+        "qs_source_edge": q(
+            "SELECT DISTINCT e.edge_type, e.source_key, e.target_key"
+            " FROM edges e JOIN nodes n ON n.node_key = e.target_key"
+            " WHERE n.name = 'FeatureFlags' AND n.file = 'entities'"
+        ),
+        "qs_repo_map": q(
+            "SELECT path,"
+            " repeat('  ', CAST(length(path) - length(replace(path, '/', '')) AS INT))"
+            " || name || ' (' || CAST(tokens AS STRING) || ')' AS line FROM walk",
+            extra_ctes=repo_map_ctes,
+        ),
+        "kg_path_norm": (
+            f"SELECT 'request' AS kind, req_id AS id, raw, {fe_norm} AS norm"
+            f" FROM ({P.request_paths_cte()})"
+            f" UNION ALL SELECT 'endpoint' AS kind, ep_id AS id, raw,"
+            f" {P.normalize_backend_path_sql('raw', 'duckdb')} AS norm"
+            f" FROM ({P.endpoint_paths_cte()})"
+        ),
+        "kg_paths_match": (
+            f"WITH r AS (SELECT req_id, verb, norm FROM (SELECT req_id, verb,"
+            f" {fe_norm} AS norm FROM ({P.request_paths_cte()})) WHERE norm IS NOT NULL),"
+            f" e AS (SELECT ep_id, verb, raw FROM ({P.endpoint_paths_cte()}))"
+            f" SELECT r.req_id, e.ep_id FROM r JOIN e ON r.verb = e.verb"
+            f" AND {P.n_segments_sql('r.norm', 'duckdb')} = {P.n_segments_sql('e.raw', 'duckdb')}"
+            f" AND {P.paths_match_sql('r.norm', 'e.raw', 'duckdb')}"
+        ),
         "so_conv_rollup": q(
             "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS rolled,"
             " CAST(count(*) AS BIGINT) AS n_turns"
@@ -535,6 +748,8 @@ WHERE round(list_dot_product(na.vec, nb.vec), 4) >= 0.25"""
             "SELECT edge_type, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY edge_type"
         ),
         "kg_tool_calls": q("SELECT conv_id, turn_idx, toolname FROM tool_calls"),
+        "kg_tool_calls_rulepack": q("SELECT conv_id, turn_idx, toolname FROM tool_calls"),
+        "kg_testrefs_rulepack": q("SELECT conv_id, turn_idx, tid FROM testrefs"),
         "kg_requests": q("SELECT conv_id, turn_idx, verb, path, norm_path FROM requests"),
         "kg_uses_by_entity": q(
             "SELECT c.canon_id AS canon_id, en.name AS canonical_name,"

@@ -156,6 +156,7 @@ ENDPOINT_PATH_CASES: list[tuple[int, str, str]] = [
     (14, "DELETE", "/api/parts/{partId?}"),        # optional curly
     (15, "GET", "/api/docs/[...slug]"),            # Next.js catch-all
     (16, "POST", "/api/pages/[page]/"),            # Next.js + trailing slash
+    (17, "GET", "/api/users/:id"),                 # concrete-id frontend target
 ]
 
 

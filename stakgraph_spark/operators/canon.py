@@ -101,5 +101,13 @@ def _label_propagation(ids: DataFrame, same_as: DataFrame, max_iter: int) -> Dat
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Exhausting max_iter with labels still moving means components
+    # wider than max_iter hops exist — returning silently would be
+    # silent canonicalization corruption. Raise: the caller should
+    # rerun with a higher bound (or a pointer-jumping variant whose
+    # round count is O(log n)).
+    raise RuntimeError(
+        f"label propagation did not converge within max_iter={max_iter} "
+        "rounds; component diameter exceeds the bound"
+    )

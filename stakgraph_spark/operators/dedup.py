@@ -71,21 +71,41 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     ).where("shingle <> ''").distinct()
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
+MAX_POSTING = 1000  # drop shingles shared by more than this many docs
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.6, max_posting: int = MAX_POSTING
+) -> DataFrame:
     """Exact Jaccard >= threshold pairs via inverted-index self-join:
     only documents sharing >= 1 shingle are ever paired (the join is
     on the shingle key, so the cross product never materializes).
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    Scale notes: hot shingles (boilerplate) explode the self-join —
-    production path caps posting-list length (drop shingles shared by
-    > L docs; they contribute no discrimination). At 10^12 docs use
+    Hot-shingle cap: a boilerplate shingle shared by 10^6 docs turns
+    the self-join into a 10^12-pair blowup, while contributing no
+    discrimination (its posting list pairs everything with
+    everything). Shingles with posting lists longer than max_posting
+    are dropped BEFORE the self-join — one count aggregate (map-side
+    combined) + a semi-join. Note the cap changes semantics only for
+    pairs whose ONLY shared shingles are that hot (at max_posting =
+    1000 such a pair has Jaccard < 1/1000 for any real document, far
+    below any useful threshold). The intersection count still uses
+    the capped list on both sides, so jaccard stays exact for every
+    surviving candidate's surviving shingles; at 10^12 docs use
     minhash_lsh_pairs instead.
     """
     sh = shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.selectExpr("doc_id AS doc_a", "shingle")
-    b = sh.selectExpr("doc_id AS doc_b", "shingle")
+    cold = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_posting)
+        .select("shingle")
+    )
+    sh_capped = sh.join(cold, "shingle", "left_semi")
+    a = sh_capped.selectExpr("doc_id AS doc_a", "shingle")
+    b = sh_capped.selectExpr("doc_id AS doc_b", "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -141,33 +141,52 @@ def first_test_defs(transcripts: DataFrame) -> DataFrame:
 # Rule-pack executor: Arrow-batched pandas path (extensibility surface).
 # ---------------------------------------------------------------------------
 
-DEFAULT_RULEPACK = [("mention", MENTION_RE)]
+# A rule is (name, regex, distinct_per_turn). distinct_per_turn
+# mirrors the consumer's dedup semantics: mention consumers dedup per
+# turn (the link stage's group-by), call-site consumers keep every
+# occurrence (get_function_calls collects all calls per file). The
+# registry holds one pack per extraction family — packs are DATA; a
+# new "language" is a new pack, not new code (the Stack-trait analog,
+# queries/mod.rs:51-303).
+DEFAULT_RULEPACK = [("mention", MENTION_RE, True)]
+TOOL_RULEPACK = [("tool", TOOL_RE, False)]
+TESTREF_RULEPACK = [("testref", TESTREF_RE, False)]
+
+RULEPACK_REGISTRY = {
+    "mentions": DEFAULT_RULEPACK,
+    "tool_calls": TOOL_RULEPACK,
+    "test_refs": TESTREF_RULEPACK,
+}
 
 
 def extract_mentions_rulepack(
-    transcripts: DataFrame, rulepack: list[tuple[str, str]] | None = None
+    transcripts: DataFrame, rulepack: list[tuple[str, str, bool]] | None = None
 ) -> DataFrame:
-    """Same semantics as extract_mentions, executed as an
-    Arrow-batched mapInPandas over conv_id-partitioned batches.
-    New rule packs are added as (rule_name, regex) data.
+    """Rule-pack executor: the configured regexes over each turn,
+    executed as an Arrow-batched mapInPandas over conv_id-partitioned
+    batches. Each pack's output must equal the corresponding JVM
+    built-in extractor (differential-tested and oracle-gated for all
+    three registry packs).
     """
     import re
 
-    rules = [(n, re.compile(p)) for n, p in (rulepack or DEFAULT_RULEPACK)]
+    rules = [(n, re.compile(p), d) for n, p, d in (rulepack or DEFAULT_RULEPACK)]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_conv, out_turn, out_surface, out_rule = [], [], [], []
             for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
                 seen = set()
-                for name, rx in rules:
+                for name, rx, distinct in rules:
                     for m in rx.findall(text):
-                        if (name, m) not in seen:
+                        if distinct:
+                            if (name, m) in seen:
+                                continue
                             seen.add((name, m))
-                            out_conv.append(conv)
-                            out_turn.append(turn)
-                            out_surface.append(m)
-                            out_rule.append(name)
+                        out_conv.append(conv)
+                        out_turn.append(turn)
+                        out_surface.append(m)
+                        out_rule.append(name)
             yield pd.DataFrame(
                 {"conv_id": out_conv, "turn_idx": out_turn, "surface": out_surface, "rule": out_rule}
             )

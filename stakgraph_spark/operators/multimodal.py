@@ -38,7 +38,9 @@ def attach_media(documents: DataFrame) -> DataFrame:
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type",
         "CAST(text AS BINARY) AS payload",
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS meta_codec",
-        "CAST(length(text) AS BIGINT) AS meta_bytes",
+        # octet_length, not length: payload size is BYTES (diverges
+        # from character count on any non-ASCII corpus)
+        "CAST(octet_length(text) AS BIGINT) AS meta_bytes",
     )
 
 

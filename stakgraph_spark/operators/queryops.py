@@ -58,6 +58,53 @@ def find_node_at(nodes: DataFrame, node_type: str, file: str, row: int) -> DataF
     )
 
 
+META_VAL = "regexp_extract(meta, '(^|;){key}=([^;]*)', 2)"
+
+
+def meta_value(key: str) -> str:
+    """SQL fragment: value of `key` in the flattened meta string
+    (identical syntax in Spark SQL and DuckDB)."""
+    return META_VAL.format(key=key)
+
+
+def find_endpoint(nodes: DataFrame, name: str, file: str, verb: str) -> DataFrame:
+    """array_graph.rs:327-339 find_endpoint: (name, file, verb)
+    point lookup — verb lives in meta (asg.rs:144-147)."""
+    return nodes.where(
+        (F.col("node_type") == "Endpoint")
+        & (F.col("name") == name)
+        & (F.col("file") == file)
+        & (F.expr(meta_value("verb")) == verb)
+    )
+
+
+def find_resource_nodes(nodes: DataFrame, verb: str, path_fragment: str) -> DataFrame:
+    """array_graph.rs:610-633 find_resource_nodes: Endpoint nodes
+    whose (normalized) path contains the fragment and whose verb
+    matches (contains, case-insensitive on the fragment side)."""
+    return nodes.where(
+        (F.col("node_type") == "Endpoint")
+        & F.lower(F.col("name")).contains(path_fragment.lower())
+        & F.expr(meta_value("verb")).contains(verb)
+    )
+
+
+def find_source_edge_by_name_and_file(
+    edges: DataFrame, nodes: DataFrame, target_name: str, target_file: str
+) -> DataFrame:
+    """graph.rs:53-58 / array_graph.rs:512-526: reverse lookup — all
+    (edge_type, source_key) whose TARGET node has the given
+    (name, file)."""
+    tgt = nodes.where(
+        (F.col("name") == target_name) & (F.col("file") == target_file)
+    ).select(F.col("node_key").alias("target_key"))
+    return (
+        edges.join(F.broadcast(tgt), "target_key")
+        .select("edge_type", "source_key", "target_key")
+        .distinct()
+    )
+
+
 def find_nodes_with_edge_type(nodes: DataFrame, edges: DataFrame, edge_type: str) -> DataFrame:
     """graph.rs:97-102: edges of a type joined back to both endpoint
     nodes -> (source_name, source_type, target_name, target_type)."""
@@ -126,15 +173,26 @@ def paginate(df: DataFrame, order_cols: list[str], skip: int, limit: int) -> Dat
 # Search (fulltext analog, queries.ts:266-306)
 # ---------------------------------------------------------------------------
 
-def search_nodes(nodes: DataFrame, query: str, limit: int = 25, skip_tests: bool = True) -> DataFrame:
-    """Tokenized term-match scoring over node names: score = number
-    of query terms contained in lower(name); ties broken by node_key
-    for determinism. skip_tests mirrors the reference's default
-    exclusion of test node types (queries.ts:32-51)."""
+def search_nodes(
+    nodes: DataFrame,
+    query: str,
+    limit: int = 25,
+    skip_tests: bool = True,
+    include_body: bool = False,
+) -> DataFrame:
+    """Tokenized term-match scoring over node names (and, with
+    include_body, bodies — the reference's composite name+body
+    fulltext index, queries.ts:10-51): score = name hits * 2 + body
+    hits (name matches rank above body matches, as a fielded index
+    would); ties broken by node_key for determinism. skip_tests
+    mirrors the reference's default exclusion of test node types
+    (queries.ts:32-51)."""
     terms = [t for t in query.lower().split() if t]
     score = None
     for t in terms:
-        hit = F.when(F.lower(F.col("name")).contains(t), 1).otherwise(0)
+        hit = F.when(F.lower(F.col("name")).contains(t), 2).otherwise(0)
+        if include_body:
+            hit = hit + F.when(F.lower(F.col("body")).contains(t), 1).otherwise(0)
         score = hit if score is None else score + hit
     out = nodes.withColumn("score", score)
     if skip_tests:
@@ -143,6 +201,23 @@ def search_nodes(nodes: DataFrame, query: str, limit: int = 25, skip_tests: bool
         out.where(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("node_key"))
         .limit(limit)
+    )
+
+
+# whitespace token count of a node body — the per-node token_count
+# analog (neo4j_utils.rs:74-75; tiktoken replaced by the declared
+# whitespace proxy, textstats.py). Parses in both dialects modulo
+# the split function name.
+TOKENS_SPARK = "size(split(trim(body), '\\\\s+'))"
+
+
+def token_census(nodes: DataFrame) -> DataFrame:
+    """Per-node-type body token totals — the repo-map token rollup
+    (mcp/src/graph/graph.ts:262-277) as an aggregate."""
+    return (
+        nodes.selectExpr("node_type", f"CAST({TOKENS_SPARK} AS BIGINT) AS tokens")
+        .groupBy("node_type")
+        .agg(F.expr("CAST(sum(tokens) AS BIGINT)").alias("total_tokens"))
     )
 
 
@@ -188,6 +263,11 @@ def list_uncovered(nodes: DataFrame, edges: DataFrame, target_type: str = "Class
 
 TRAVERSAL_EDGE_TYPES = ("RENDERS", "CALLS", "CONTAINS", "HANDLER", "OPERAND")
 
+# Above this many keys a traversal frontier/visited set is no longer
+# broadcast (driver/executor memory), and the hop becomes a shuffle
+# join on the (bucketable) edge source key.
+BROADCAST_FRONTIER_MAX = 2_000_000
+
 
 def subtree(
     edges: DataFrame,
@@ -212,24 +292,82 @@ def subtree(
         e = e.select(F.col("target_key").alias("src"), F.col("source_key").alias("dst"))
 
     visited = root_keys.select("node_key").distinct().withColumn("depth", F.lit(0))
+    visited = visited.localCheckpoint(eager=True)
     frontier = visited
+    frontier_n = visited_n = visited.count()
     for d in range(1, depth + 1):
-        # frontier/visited are hinted broadcast: python-list-backed
-        # DataFrames carry unknown (8 EiB) stats, and without the hint
-        # the planner would shuffle the EDGE table per hop.
+        # Broadcast the frontier/visited sets only while they are
+    	# small (they start as python-list-backed DataFrames with
+        # unknown 8 EiB stats, so the hint is needed for the planner
+        # to pick the right side). Past the threshold — e.g. a
+        # CONTAINS expansion from the root, whose frontier IS the
+        # node set — broadcasting would OOM the driver at scale, so
+        # the hop falls back to a shuffle join on src (the edge table
+        # is bucketable by source_key at rest).
+        f = frontier.select(F.col("node_key").alias("src"))
+        v = visited.select("node_key")
+        if frontier_n <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        if visited_n <= BROADCAST_FRONTIER_MAX:
+            v = F.broadcast(v)
         nxt = (
-            e.join(F.broadcast(frontier.select(F.col("node_key").alias("src"))), "src")
+            e.join(f, "src")
             .select(F.col("dst").alias("node_key"))
             .distinct()
-            .join(F.broadcast(visited.select("node_key")), "node_key", "left_anti")
+            .join(v, "node_key", "left_anti")
             .withColumn("depth", F.lit(d))
         )
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
         visited = visited.unionByName(nxt)
+        visited_n += frontier_n
         frontier = nxt
     return visited
+
+
+def repo_map(
+    nodes: DataFrame,
+    edges: DataFrame,
+    root_key: str,
+    depth: int = 3,
+) -> DataFrame:
+    """Repo map (mcp/src/graph/graph.ts:210-278): the CONTAINS-only
+    subtree rendered as an indented ASCII tree with per-node token
+    counts (the archy rendering + tiktoken totals, graph.ts:230-277).
+
+    Returns (path, line): `path` is the /-joined name path (sorting
+    by it yields the tree's display order); `line` is the indented
+    'name (tokens)' row. CONTAINS is a forest (every node has one
+    container), so no visited set is needed.
+    """
+    e = edges.where(F.col("edge_type") == "CONTAINS").select(
+        F.col("source_key").alias("src"), F.col("target_key").alias("dst")
+    )
+    info = nodes.selectExpr(
+        "node_key", "name", f"CAST({TOKENS_SPARK} AS BIGINT) AS tokens"
+    )
+    cur = (
+        info.where(F.col("node_key") == root_key)
+        .selectExpr("node_key", "name AS path", "name", "tokens")
+    ).localCheckpoint(eager=True)
+    out = cur
+    for _ in range(1, depth + 1):
+        cur = (
+            e.join(F.broadcast(cur.select(F.col("node_key").alias("src"), F.col("path").alias("ppath"))), "src")
+            .join(info, e["dst"] == info["node_key"])
+            .selectExpr("node_key", "ppath || '/' || name AS path", "name", "tokens")
+        ).localCheckpoint(eager=True)
+        if cur.limit(1).count() == 0:
+            break
+        out = out.unionByName(cur)
+    return out.selectExpr(
+        "path",
+        # indent = tree depth = number of '/' in the path
+        "repeat('  ', CAST(length(path) - length(replace(path, '/', '')) AS INT))"
+        " || name || ' (' || CAST(tokens AS STRING) || ')' AS line",
+    )
 
 
 def shortest_path(

@@ -71,6 +71,50 @@ def filter_by_changed(nodes: DataFrame, edges: DataFrame, changed_files: DataFra
     return kept_nodes, kept_edges
 
 
+def clean_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    parent_type: str,
+    child_type: str,
+    child_meta_key: str = "parent",
+):
+    """filter_out_nodes_without_children (array_graph.rs:527-586,
+    invoked at the end of every reference build, core.rs:876-881):
+    remove parent_type nodes that no child_type node references by
+    NAME via meta[child_meta_key], then cascade-delete every edge
+    touching a removed node.
+
+    Scale shape: the kept-parent-name set comes from a distinct over
+    the children's extracted meta value (one shuffle on the name);
+    the removed-key set is small (childless parents) and broadcast
+    into both anti-joins, so the edge table is never shuffled.
+    """
+    from .queryops import meta_value
+
+    referenced = (
+        nodes.where(F.col("node_type") == child_type)
+        .selectExpr(f"{meta_value(child_meta_key)} AS name")
+        .where(F.col("name") != "")
+        .distinct()
+    )
+    removed = (
+        nodes.where(F.col("node_type") == parent_type)
+        .join(referenced, "name", "left_anti")
+        .select("node_key")
+    )
+    kept_nodes = nodes.join(F.broadcast(removed), "node_key", "left_anti")
+    kept_edges = edges.join(
+        F.broadcast(removed.withColumnRenamed("node_key", "source_key")),
+        "source_key",
+        "left_anti",
+    ).join(
+        F.broadcast(removed.withColumnRenamed("node_key", "target_key")),
+        "target_key",
+        "left_anti",
+    ).select("edge_type", "source_key", "target_key")
+    return kept_nodes, kept_edges
+
+
 def conv_rollup(transcripts: DataFrame, role: str = "user") -> DataFrame:
     """Ordered per-conversation rollup of one role's turn texts:
     sort_array(collect_list(struct(turn_idx, text))) then join with

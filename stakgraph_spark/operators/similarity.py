@@ -41,10 +41,21 @@ def normalized(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Brute-force all-pairs cosine >= threshold (the correctness
-    baseline; O(n^2) — cap inputs or use lsh_cosine_pairs at scale).
+MAX_BRUTEFORCE = 100_000  # above this corpus size all-pairs is refused
+
+
+def cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, max_bruteforce: int = MAX_BRUTEFORCE
+) -> DataFrame:
+    """Brute-force all-pairs cosine >= threshold — the EXACTNESS
+    baseline, O(n^2) by definition. Size-gated: above max_bruteforce
+    vectors the call routes to lsh_cosine_pairs (the bucketed scale
+    path) instead of silently scheduling a 10^10-pair cross join.
+    Callers that require exact all-pairs semantics at larger sizes
+    must opt in explicitly by raising the gate.
     Output: (vec_a, vec_b, cos), vec_a < vec_b, cos rounded to 4dp."""
+    if embeddings.count() > max_bruteforce:
+        return lsh_cosine_pairs(embeddings, threshold)
     n = normalized(embeddings)
     a = n.selectExpr("vec_id AS vec_a", "vec AS va")
     b = n.selectExpr("vec_id AS vec_b", "vec AS vb")

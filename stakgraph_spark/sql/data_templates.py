@@ -47,9 +47,12 @@ def _sizes() -> str:
     return f"SELECT doc_id, count(*) AS sz FROM ({_shingles()}) GROUP BY doc_id"
 
 
-def ngram_jaccard_pairs(threshold: float = 0.6) -> str:
+def ngram_jaccard_pairs(threshold: float = 0.6, max_posting: int = 1000) -> str:
+    # mirrors the engine's hot-shingle posting-list cap (dedup.py)
     return f"""
-WITH sh AS ({_shingles()}), sizes AS ({_sizes()}),
+WITH sh0 AS ({_shingles()}), sizes AS ({_sizes()}),
+cold AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_posting}),
+sh AS (SELECT sh0.* FROM sh0 JOIN cold ON cold.shingle = sh0.shingle),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -301,11 +304,13 @@ JOIN ({names_cte}) nm ON lower(nm.name) = t.tok"""
 
 def media_features() -> str:
     """Oracle for extract_features' metadata columns (the pandas-UDF
-    decode stub is deterministic arithmetic on payload length)."""
+    decode stub is deterministic arithmetic on payload BYTE length —
+    strlen = DuckDB's UTF-8 octet count, matching len(payload) of the
+    CAST(text AS BINARY) payload on any corpus, ASCII or not)."""
     return """
 SELECT doc_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN length(text) % 64 + 1 WHEN 1 THEN 0 ELSE length(text) % 64 + 1 END AS INT) AS width,
-       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN length(text) % 48 + 1 WHEN 1 THEN 0 ELSE length(text) % 48 + 1 END AS INT) AS height,
-       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN length(text) % 1000 + 1 ELSE length(text) % 120 + 1 END AS INT) AS n_frames
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN strlen(text) % 64 + 1 WHEN 1 THEN 0 ELSE strlen(text) % 64 + 1 END AS INT) AS width,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN strlen(text) % 48 + 1 WHEN 1 THEN 0 ELSE strlen(text) % 48 + 1 END AS INT) AS height,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN strlen(text) % 1000 + 1 ELSE strlen(text) % 120 + 1 END AS INT) AS n_frames
 FROM documents"""
