@@ -40,8 +40,13 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # fits a per-round bench budget on this VM (16M raises measured
 # efficiency ~0.69 -> ~0.75 but doubles the leg; see BENCH.md).
 SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
+# 2,8 (not 8,32): the hypervisor throttles this host above ~8
+# busy cores — pinned probes measured 8->32 pure-CPU ceiling ~0.59
+# and the Spark job at 0.29 there, vs a 2->8 pinned pure-CPU ceiling
+# of ~0.64 which the job itself EXCEEDS (0.74). 2 vs 8 pinned cores
+# is the honest N-vs-4N-node comparison this host can express.
 SCALE_CORES = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(","))
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
 
 def _burn(q, cpus):
@@ -177,7 +182,14 @@ def main() -> None:
     if DO_SCALING:
         lo, hi = SCALE_CORES
         pairs: list[dict] = []
-        for _ in range(SCALE_TRIALS):
+        t_scaling = time.time()
+        for i in range(SCALE_TRIALS):
+            # time guard: always run >=2 pairs, stop launching more
+            # past 25 min (a throttled window can stretch one pair to
+            # 10+ min; the driver's bench budget matters more than a
+            # third sample)
+            if i >= 2 and time.time() - t_scaling > 1500:
+                break
             r_lo = _scaling_trial(lo, SCALE_EVENTS)
             r_hi = _scaling_trial(hi, SCALE_EVENTS)
             if r_lo and r_hi:
@@ -201,7 +213,9 @@ def main() -> None:
             scaling[f"local{hi}"] = best["hi"]
             scaling["speedup"] = best["speedup"]
             scaling["efficiency"] = best["efficiency"]
+            effs = sorted(p["efficiency"] for p in pairs)
             scaling["pair_efficiencies"] = [p["efficiency"] for p in pairs]
+            scaling["efficiency_median"] = effs[len(effs) // 2]
         scaling.update(_cpu_calibration((lo, hi)))
         if pairs and scaling.get("cpu_ceiling_efficiency"):
             scaling["efficiency_normalized_to_host_ceiling"] = round(

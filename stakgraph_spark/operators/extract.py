@@ -120,20 +120,20 @@ def first_test_defs(transcripts: DataFrame) -> DataFrame:
     """-> (tid, d_conv, d_turn, d_text): the globally-FIRST defining
     turn per test id (deterministic pick => parallelism-invariant).
     Shared by Test-node materialization and the shared-test-id linker
-    (link_e2e_tests analog, linker.rs:56-127)."""
-    from pyspark.sql import Window
+    (link_e2e_tests analog, linker.rs:56-127).
 
-    w = Window.partitionBy("tid").orderBy("conv_id", "turn_idx")
+    Expressed as a lexicographic struct-min AGGREGATE, not a window:
+    a window over the ~50 test-id partitions caps the stage at 50
+    concurrent tasks and ships every def row through the shuffle; the
+    aggregate gets map-side partial combine, so the shuffle carries
+    one candidate per (tid, input partition) and the heavy scan stays
+    embarrassingly parallel. (conv_id, turn_idx) is unique, so the
+    struct min equals the row_number()=1 pick exactly."""
     return (
         extract_test_defs(transcripts)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "tid",
-            F.col("conv_id").alias("d_conv"),
-            F.col("turn_idx").alias("d_turn"),
-            F.col("text").alias("d_text"),
-        )
+        .groupBy("tid")
+        .agg(F.expr("min(struct(conv_id, turn_idx, text)) AS f"))
+        .selectExpr("tid", "f.conv_id AS d_conv", "f.turn_idx AS d_turn", "f.text AS d_text")
     )
 
 

@@ -57,7 +57,7 @@ Edge vocabulary — all 12 reference EdgeTypes (mod.rs:71-88):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.keys import node_key, node_key_py, node_key_sql
@@ -659,10 +659,15 @@ def global_edges(
         "CALLS", _test_key_sql("tid", "d_conv", "d_turn"), _turn_key_sql("conv_id", "turn_idx"),
     )
 
-    # HANDLER: endpoint -> globally-first referencing turn
-    w_req = Window.partitionBy("entity_id").orderBy("conv_id", "turn_idx")
+    # HANDLER: endpoint -> globally-first referencing turn. A window
+    # over the 5 endpoint keys would cap this stage at 5 concurrent
+    # tasks (a hard scaling ceiling on the whole build); the
+    # struct-min aggregate gets map-side combine instead — the
+    # shuffle carries one candidate per (endpoint, partition).
     handler = _edge(
-        matched.withColumn("rk", F.row_number().over(w_req)).where(F.col("rk") == 1),
+        matched.groupBy("entity_id", "node_key")
+        .agg(F.expr("min(struct(conv_id, turn_idx)) AS f"))
+        .selectExpr("node_key", "f.conv_id AS conv_id", "f.turn_idx AS turn_idx"),
         "HANDLER", "node_key", _turn_key_sql("conv_id", "turn_idx"),
     )
 

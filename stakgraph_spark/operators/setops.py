@@ -115,6 +115,62 @@ def clean_graph(
     return kept_nodes, kept_edges
 
 
+def process_endpoint_groups(nodes: DataFrame, edges: DataFrame):
+    """Endpoint group rewrite (array_graph.rs:187-228): every
+    Endpoint node carrying a `group` meta gets its name prefixed with
+    the group, which CHANGES its node_key — so every edge referencing
+    the old key is rewritten to the new one (the reference mutates
+    names then renames edge sources in place; here both are
+    recomputed as projections + a broadcast key-map join).
+
+    Returns (nodes, edges) with rewritten endpoints. The key map is
+    |endpoints-with-groups| rows — broadcast; the edge table is never
+    shuffled.
+    """
+    from ..functions.keys import node_key
+    from .queryops import meta_value
+
+    grouped = nodes.where(
+        (F.col("node_type") == "Endpoint") & F.expr(f"{meta_value('group')} != ''")
+    )
+    keymap = grouped.select(
+        F.col("node_key").alias("old_key"),
+        node_key(
+            F.col("node_type"),
+            F.expr(f"{meta_value('group')} || name"),
+            F.col("file"),
+            F.col("start"),
+            F.expr(meta_value("verb")),
+        ).alias("new_key"),
+    )
+    km = F.broadcast(keymap)
+
+    rewritten = (
+        nodes.join(km, nodes["node_key"] == km["old_key"], "left")
+        .withColumn(
+            "name",
+            F.when(
+                F.col("old_key").isNotNull(),
+                F.expr(f"{meta_value('group')} || name"),
+            ).otherwise(F.col("name")),
+        )
+        .withColumn("node_key", F.coalesce("new_key", "node_key"))
+        .drop("old_key", "new_key")
+    )
+    src_map = km.selectExpr("old_key AS source_key", "new_key AS new_src")
+    dst_map = km.selectExpr("old_key AS target_key", "new_key AS new_dst")
+    new_edges = (
+        edges.join(src_map, "source_key", "left")
+        .join(dst_map, "target_key", "left")
+        .select(
+            "edge_type",
+            F.coalesce("new_src", "source_key").alias("source_key"),
+            F.coalesce("new_dst", "target_key").alias("target_key"),
+        )
+    )
+    return rewritten, new_edges
+
+
 def conv_rollup(transcripts: DataFrame, role: str = "user") -> DataFrame:
     """Ordered per-conversation rollup of one role's turn texts:
     sort_array(collect_list(struct(turn_idx, text))) then join with

@@ -108,3 +108,58 @@ def test_canon_nonconvergence_raises(spark):
     # and a sufficient bound converges to the min label
     labels = _label_propagation(ids, chain, max_iter=12)
     assert {r["canon_id"] for r in labels.collect()} == {0}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be semantics-preserving: a hot-key join salted
+    16 ways returns exactly the plain join's rows."""
+    from stakgraph_spark.operators.skew import salted_count, salted_join
+
+    # 5000 rows, 90% sharing one hot key
+    left = spark.range(5000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 'hot' ELSE 'k' || CAST(id % 7 AS STRING) END AS k"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3)], "k STRING, v INT"
+    )
+    plain = left.join(right, "k").selectExpr("k", "id", "v")
+    salted = salted_join(left, right, "k", salt_cols=["id"]).selectExpr("k", "id", "v")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+    counts = {r["k"]: r["n"] for r in salted_count(left, "k", ["id"]).collect()}
+    assert counts["hot"] == 4500
+
+
+def test_process_endpoint_groups_rewrite(spark):
+    """array_graph.rs:187-228: grouped endpoints get the group
+    prefix in their name AND a new node_key; edges referencing the
+    old key are renamed; ungrouped nodes/edges untouched."""
+    from stakgraph_spark.functions.keys import node_key_py
+    from stakgraph_spark.operators.setops import process_endpoint_groups
+
+    k_plain = node_key_py("Endpoint", "GET /api/x/:param", "entities", 1, "GET")
+    k_grp = node_key_py("Endpoint", "GET /api/y/:param", "entities", 2, "GET")
+    k_new = node_key_py("Endpoint", "v2GET /api/y/:param", "entities", 2, "GET")
+    nodes = spark.createDataFrame(
+        [
+            (k_plain, "Endpoint", "GET /api/x/:param", "entities", 1, "verb=GET"),
+            (k_grp, "Endpoint", "GET /api/y/:param", "entities", 2, "group=v2;verb=GET"),
+            ("fn1", "Function", "turn_0", "corpus/c", 0, ""),
+        ],
+        "node_key STRING, node_type STRING, name STRING, file STRING, start INT, meta STRING",
+    )
+    edges = spark.createDataFrame(
+        [("HANDLER", k_grp, "fn1"), ("CALLS", "fn1", k_grp), ("CALLS", "fn1", k_plain)],
+        "edge_type STRING, source_key STRING, target_key STRING",
+    )
+    n2, e2 = process_endpoint_groups(nodes, edges)
+    rows = {r["node_key"]: r["name"] for r in n2.collect()}
+    assert k_new in rows and rows[k_new] == "v2GET /api/y/:param"
+    assert k_grp not in rows and rows[k_plain] == "GET /api/x/:param"
+    es = {(r["edge_type"], r["source_key"], r["target_key"]) for r in e2.collect()}
+    assert es == {
+        ("HANDLER", k_new, "fn1"),
+        ("CALLS", "fn1", k_new),
+        ("CALLS", "fn1", k_plain),
+    }
