@@ -45,10 +45,12 @@ def _graph(spark: SparkSession, sf_dir: str):
     # reused by CPython after a stopped session is collected
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAPH_CACHE:
-        g = build_from_sf_dir(spark, sf_dir)
-        # lazy persist: the driver runs many queries against one
-        # session; the shared derivation materializes once
-        g["transcripts"] = g["transcripts"].persist()
+        # persist the shared build prefix: the driver runs ~50
+        # queries against one session, and each would re-derive the
+        # full DAG otherwise. transcripts (the one shuffle), the
+        # resolved mentions and the small request/first_def dims
+        # materialize once; every query's plan reuses them.
+        g = build_from_sf_dir(spark, sf_dir, persist_intermediates=True)
         _GRAPH_CACHE[key] = g
     return _GRAPH_CACHE[key]
 

@@ -125,6 +125,17 @@ def main() -> None:
 
     spark = get_spark(app_name=f"bench[{CPUS}]", master=f"local[{CPUS}]")
 
+    # Warmup: run the derivation+build plan shape once on a tiny
+    # corpus so JIT + whole-stage-codegen compilation (driver-serial,
+    # one-time per JVM) is excluded from the first timed query — the
+    # round-1 numbers charged ~20s of JVM warmup to kg_transcripts.
+    from stakgraph_spark.sources.transcripts import derive_transcripts, synthetic_events
+
+    warm = derive_transcripts(spark, synthetic_events(spark, 20_000, 50)).persist()
+    warm.count()
+    build_graph(spark, warm)["triples"].count()
+    warm.unpersist()
+
     # --- per-query timings (headline queries) ---
     q_times: dict[str, float] = {}
     qs = ENTRY.queries()

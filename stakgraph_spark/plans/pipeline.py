@@ -28,6 +28,7 @@ def build_graph(
     spark: SparkSession,
     transcripts: DataFrame,
     repartition_by_conv: bool = False,
+    persist_intermediates: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full KG construction; returns every stage's DataFrame.
 
@@ -45,6 +46,13 @@ def build_graph(
     """
     if repartition_by_conv:
         transcripts = transcripts.repartition("conv_id")
+    if persist_intermediates:
+        # multi-action workloads (the driver's ~50 queries, an
+        # interactive session): materialize the shared prefix once.
+        # Single-action builds (bench e2e, the resumable units) keep
+        # everything lazy — Spark's ReusedExchange dedups identical
+        # subtrees within one action without pinning memory.
+        transcripts = transcripts.persist()
 
     # The link stage consumes RAW (per-occurrence) mentions: its
     # best-candidate group-by dedups per (conv, turn, surface), so
@@ -60,6 +68,10 @@ def build_graph(
     # Spark's ReusedExchange at execution time)
     first_def = X.first_test_defs(transcripts)
     requests = X.extract_requests(transcripts)
+    if persist_intermediates:
+        resolved = resolved.persist()
+        first_def = first_def.persist()
+        requests = requests.persist()
     nodes = M.build_nodes(spark, transcripts, ent_nodes, first_def, requests)
     edges = M.build_edges(spark, transcripts, resolved, ent_nodes, first_def, requests)
     return {
@@ -75,5 +87,11 @@ def build_graph(
     }
 
 
-def build_from_sf_dir(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return build_graph(spark, TS.read_transcripts(spark, sf_dir))
+def build_from_sf_dir(
+    spark: SparkSession, sf_dir: str, persist_intermediates: bool = False
+) -> dict[str, DataFrame]:
+    return build_graph(
+        spark,
+        TS.read_transcripts(spark, sf_dir),
+        persist_intermediates=persist_intermediates,
+    )
