@@ -298,6 +298,19 @@ def _q_ann_lsh_pairs(spark, sf_dir):
     return lsh_cosine_pairs(_embs(spark, sf_dir), 0.25)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from stakgraph_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], 5)
+
+
+def _q_search_index(spark, sf_dir):
+    from stakgraph_spark.operators.queryops import search_via_index, token_index
+
+    g = _graph(spark, sf_dir)
+    return search_via_index(token_index(g["nodes"]), g["nodes"], "orders defines", limit=10)
+
+
 def _q_lang_id(spark, sf_dir):
     from stakgraph_spark.operators.textstats import lang_id
 
@@ -507,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_pairs": _q_embed_cosine_pairs,
         "sim_ann_topk": _q_ann_topk,
         "sim_lsh_pairs": _q_ann_lsh_pairs,
+        "sim_ivf_topk": _q_ivf_topk,
+        "qs_search_index": _q_search_index,
         # text analysis
         "tx_lang_id": _q_lang_id,
         "tx_quality": _q_quality,
@@ -612,6 +627,29 @@ walk AS (
             " AND e.edge_type IN ('USES','CALLS')) ORDER BY node_key"
         ),
         "qs_subtree": subtree_sql(REPO_KEY, 3, "CONTAINS"),
+        "qs_search_index": q(
+            "SELECT n.node_key, n.node_type, n.name, n.file, n.start, h.score"
+            " FROM nodes n JOIN ("
+            "   SELECT node_key, CAST("
+            "     2 * count(DISTINCT CASE WHEN field = 'name' THEN token END)"
+            "     + count(DISTINCT CASE WHEN field = 'body' THEN token END) AS INT) AS score"
+            "   FROM tok WHERE token IN ('orders', 'defines') GROUP BY node_key"
+            " ) h ON h.node_key = n.node_key"
+            " WHERE n.node_type NOT IN ('UnitTest','IntegrationTest','E2etest')"
+            " ORDER BY h.score DESC, n.node_key ASC LIMIT 10",
+            extra_ctes=""",
+tok AS (
+  SELECT unnest(list_distinct(list_filter(
+           string_split_regex(lower(name), '[^a-z0-9]+'), t -> t != ''))) AS token,
+         node_key, 'name' AS field
+  FROM nodes
+  UNION ALL
+  SELECT unnest(list_distinct(list_filter(
+           string_split_regex(lower(body), '[^a-z0-9]+'), t -> t != ''))) AS token,
+         node_key, 'body' AS field
+  FROM nodes
+)""",
+        ),
         "qs_search_body": q(
             f"SELECT node_key, node_type, name, file, start, CAST({body_score} AS INT) AS score"
             " FROM nodes"
@@ -699,6 +737,7 @@ removedk AS (
         "dd_simhash_pairs": DT.simhash_pairs(3),
         "sim_cosine_pairs": DT.cosine_pairs(0.3),
         "sim_ann_topk": DT.ann_topk([0, 1, 2, 3, 4], 5),
+        "sim_ivf_topk": DT.ivf_topk([0, 1, 2, 3, 4], 5),
         "sim_lsh_pairs": None,  # rows-only (LSH verify path exercises pandas-free plan)
         "tx_lang_id": DT.lang_id(),
         "tx_quality": DT.quality_score(),

@@ -46,9 +46,12 @@ def find_nodes_by_file_ends_with(nodes: DataFrame, node_type: str, suffix: str) 
 
 
 def find_node_in_range(nodes: DataFrame, file: str, row: int) -> DataFrame:
-    """graph.rs:142-146 find_node_in_range: file=f AND start<=row
-    (turn nodes carry start=turn_idx; end==start here)."""
-    return nodes.where((F.col("file") == file) & (F.col("start") <= row))
+    """graph.rs:142-146 find_node_in_range: file=f AND
+    start <= row <= end (full reference semantics — the payload
+    schema carries `end`)."""
+    return nodes.where(
+        (F.col("file") == file) & (F.col("start") <= row) & (F.col("end") >= row)
+    )
 
 
 def find_node_at(nodes: DataFrame, node_type: str, file: str, row: int) -> DataFrame:
@@ -209,6 +212,71 @@ def search_nodes(
 # whitespace proxy, textstats.py). Parses in both dialects modulo
 # the split function name.
 TOKENS_SPARK = "size(split(trim(body), '\\\\s+'))"
+
+
+def token_index(nodes: DataFrame) -> DataFrame:
+    """Inverted fulltext index over name+body — the analog of the
+    reference's Neo4j fulltext indexes (standard analyzer over name
+    and body, queries.ts:10-51; built once, queried by term).
+    -> (token, node_key, field) with field in ('name', 'body'),
+    distinct per (token, node_key, field); tokens lowercased and
+    split on non-alphanumerics (the standard-analyzer shape).
+
+    At scale this is a MATERIALIZED table bucketed by token: a
+    search becomes a semi-join against the query's term list instead
+    of a full scan of every node's body per query — the difference
+    between an index lookup and a 100 TB table scan.
+    """
+    def side(col: str) -> DataFrame:
+        return nodes.selectExpr(
+            f"explode(array_distinct(filter(split(lower({col}), '[^a-z0-9]+'), t -> t != ''))) AS token",
+            "node_key",
+            f"'{col}' AS field",
+        )
+
+    return side("name").unionByName(side("body"))
+
+
+def search_via_index(
+    index: DataFrame,
+    nodes: DataFrame,
+    query: str,
+    limit: int = 25,
+    skip_tests: bool = True,
+) -> DataFrame:
+    """Fulltext search against the inverted index: score = 2 x
+    distinct matched name-terms + 1 x distinct matched body-terms
+    (fielded weighting, same as search_nodes), evaluated WITHOUT
+    scanning node bodies — the index join touches only the posting
+    lists of the query's terms. Deterministic (score DESC, node_key).
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    spark = index.sparkSession
+    term_df = F.broadcast(
+        spark.sql(
+            "SELECT * FROM VALUES "
+            + ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+            + " AS t(token)"
+        )
+    )
+    scored = (
+        index.join(term_df, "token")
+        .groupBy("node_key")
+        .agg(
+            F.expr(
+                "CAST(2 * count(DISTINCT CASE WHEN field = 'name' THEN token END)"
+                " + count(DISTINCT CASE WHEN field = 'body' THEN token END) AS INT)"
+            ).alias("score")
+        )
+    )
+    out = nodes.join(scored, "node_key")
+    if skip_tests:
+        out = out.where(~F.col("node_type").isin("UnitTest", "IntegrationTest", "E2etest"))
+    return (
+        out.select("node_key", "node_type", "name", "file", "start", "score")
+        .orderBy(F.desc("score"), F.asc("node_key"))
+        .limit(limit)
+    )
 
 
 def token_census(nodes: DataFrame) -> DataFrame:

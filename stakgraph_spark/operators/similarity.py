@@ -126,3 +126,75 @@ def lsh_cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame
         .selectExpr("vec_a", "vec_b", f"round({dot}, 4) AS cos")
         .where(F.col("cos") >= threshold)
     )
+
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: corpus vectors assigned to their nearest
+    centroid. Centroids are DETERMINISTIC — the (normalized) vectors
+    with the n_centroids smallest vec_ids stand in for k-means
+    training, keeping the operator reproducible and oracle-checkable.
+    -> (vec_id, cid). One broadcast of the centroid dim; assignment
+    is an argmax struct aggregate (ties -> smaller cid)."""
+    n = normalized(embeddings)
+    cents = F.broadcast(
+        n.where(F.col("vec_id") < n_centroids).selectExpr("vec_id AS cid", "vec AS cvec")
+    )
+    dot = DOT.format(a="vec", b="cvec")
+    return (
+        n.select("vec_id", "vec")
+        .crossJoin(cents)
+        .selectExpr("vec_id", "cid", f"round({dot}, 4) AS d")
+        .groupBy("vec_id")
+        .agg(F.expr("max(struct(d, -cid AS ncid, cid)) AS best"))
+        .selectExpr("vec_id", "best.cid AS cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its `nprobe` nearest
+    centroids and scans ONLY those inverted lists — the corpus scan
+    per query shrinks from |corpus| to ~nprobe/n_centroids of it,
+    and the candidate join is a partitioned equi-join on the
+    centroid id (the 100 TB shape: the corpus-side assignment table
+    is bucketed by cid at rest). Recall < 1 vs brute force by design
+    (the LSH trade with a different geometry). Deterministic:
+    (cos DESC, vec_id ASC) ordering, self excluded.
+    Output: (query_id, vec_id, cos, rk).
+    """
+    from pyspark.sql import Window
+
+    n = normalized(embeddings)
+    assign = ivf_assignments(embeddings, n_centroids)
+    cents = F.broadcast(
+        n.where(F.col("vec_id") < n_centroids).selectExpr("vec_id AS cid", "vec AS cvec")
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    q = n.where(F.expr(f"vec_id IN ({ids})")).selectExpr("vec_id AS query_id", "vec AS qv")
+    qdot = DOT.format(a="qv", b="cvec")
+    # argmax/rank over ROUNDED dots on both engines: sub-1e-4 float
+    # summation differences must not flip a centroid pick
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qd"), F.asc("cid"))
+    probes = (
+        F.broadcast(q).crossJoin(cents)
+        .selectExpr("query_id", "qv", "cid", f"round({qdot}, 4) AS qd")
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = probes.join(assign, "cid").where(F.col("query_id") != F.col("vec_id"))
+    cdot = DOT.format(a="qv", b="vec")
+    scored = cand.join(n.select("vec_id", "vec"), "vec_id").selectExpr(
+        "query_id", "vec_id", f"round({cdot}, 4) AS cos"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

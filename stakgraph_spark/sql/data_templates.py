@@ -314,3 +314,38 @@ SELECT doc_id,
        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN strlen(text) % 48 + 1 WHEN 1 THEN 0 ELSE strlen(text) % 48 + 1 END AS INT) AS height,
        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN strlen(text) % 1000 + 1 ELSE strlen(text) % 120 + 1 END AS INT) AS n_frames
 FROM documents"""
+
+
+def ivf_topk(query_ids: list[int], k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    """Oracle for the IVF ANN path: deterministic centroids (the
+    n_centroids smallest vec_ids), argmax assignment and probe
+    ranking over ROUNDED dots (ties -> smaller cid), bucket-join
+    candidates, exact re-rank."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH n AS ({_NORMED}),
+cents AS (SELECT vec_id AS cid, vec AS cvec FROM n WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY round(list_dot_product(n.vec, c.cvec), 4) DESC, c.cid ASC) AS rk
+    FROM n CROSS JOIN cents c) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM n WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.cvec), 4) DESC, c.cid ASC) AS pr
+    FROM q CROSS JOIN cents c) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id FROM probes p
+  JOIN assign a ON a.cid = p.cid WHERE p.query_id != a.vec_id
+)
+SELECT query_id, vec_id, cos, rk FROM (
+  SELECT c.query_id, c.vec_id, round(list_dot_product(c.qv, n.vec), 4) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round(list_dot_product(c.qv, n.vec), 4) DESC, c.vec_id ASC) AS rk
+  FROM cand c JOIN n ON n.vec_id = c.vec_id) WHERE rk <= {k}"""

@@ -100,4 +100,10 @@ def test_find_predicates(spark):
     assert Q.find_nodes_by_name(nodes, "Class", "OrderService").count() == 1
     assert Q.find_nodes_by_file_ends_with(nodes, "Function", "conv_000000").count() > 0
     assert Q.find_node_at(nodes, "Function", "corpus/conv_000000", 0).count() == 1
-    assert Q.find_node_in_range(nodes, "corpus/conv_000000", 3).count() >= 4
+    # span-contains semantics (start <= row <= end, graph.rs:142-146):
+    # the conversation File (0..last) and turn_3 (3..3) both cover
+    # row 3; point-span nodes at other rows do not
+    in_range = Q.find_node_in_range(nodes, "corpus/conv_000000", 3)
+    types = {r["node_type"] for r in in_range.collect()}
+    assert {"File", "Function"} <= types
+    assert in_range.where("node_type = 'Function'").count() == 1
