@@ -65,3 +65,88 @@ def windowed_turn_counts(stream: DataFrame, watermark: str = "10 minutes", windo
             "n_turns",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+STATE_OUT_SCHEMA = "conv_id STRING, n_turns BIGINT, n_mentions BIGINT, max_turn_idx INT"
+STATE_SCHEMA = "n_turns BIGINT, n_mentions BIGINT, max_turn_idx INT"
+
+
+def _update_conv_state(key, pdfs, state):
+    """Per-conversation session accumulator. Counters are
+    order-insensitive, so the operator is deterministic regardless of
+    how rows split across micro-batches."""
+    import pandas as pd
+
+    from ..operators.extract import MENTION_RE
+
+    n_turns = 0
+    n_mentions = 0
+    max_turn = -1
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_mentions += int(pdf["text"].str.count(MENTION_RE).sum())
+        max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+    if state.exists:
+        pt, pm, pmax = state.get
+        n_turns += pt
+        n_mentions += pm
+        max_turn = max(max_turn, pmax)
+    state.update((n_turns, n_mentions, max_turn))
+    yield pd.DataFrame(
+        [
+            {
+                "conv_id": key[0],
+                "n_turns": n_turns,
+                "n_mentions": n_mentions,
+                "max_turn_idx": max_turn,
+            }
+        ]
+    )
+
+
+def conversation_state(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-conversation session state — turn count, raw mention
+    occurrences, highest turn index — held in the state store across
+    micro-batches and emitted as an update row whenever a
+    conversation receives data. This is the surface for
+    conversation-level accumulators that neither watermarked window
+    aggs (event-time keyed) nor foreachBatch appends (stateless per
+    batch) express. Arrow-batched; grouped by conv_id, so state
+    shards partition exactly like the rest of the pipeline."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        _update_conv_state,
+        outputStructType=STATE_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def conversation_state_query(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Run conversation_state and append each batch's update rows to
+    a batch-id-keyed parquet store (idempotent on replay); the latest
+    row per conv_id is the current state."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    writer = (
+        conversation_state(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
