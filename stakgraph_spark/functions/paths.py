@@ -72,22 +72,32 @@ def normalize_backend_path_sql(expr: str, dialect: str) -> str:
     return f"'/' || ({out})"
 
 
+# The `${` digram must NEVER appear in rendered SQL text: under a
+# session with spark.sql.variable.substitute=true (the DEFAULT — and
+# the driver's harness session does not disable it), Spark rewrites
+# `${...}` spans BEFORE parsing, mangling both literals and the
+# surrounding SQL. Render it as a concat of two literals instead;
+# `||` parses identically in Spark SQL and DuckDB.
+_DB = "'$' || '{'"              # the string "${", substitution-proof
+_DB_PREFIX = "('$' || '{%')"    # LIKE pattern "${%", substitution-proof
+
+
 def normalize_frontend_path_sql(expr: str, dialect: str) -> str:
     """SQL fragment: normalize_frontend_path(expr) (linker.rs:165-193).
     NULL when the path is a pure template literal (the reference's
     None => request not linkable)."""
     # path part after a leading ${...} prefix
     part = (
-        f"CASE WHEN {expr} LIKE '${{%' THEN substr({expr}, instr({expr}, '}}') + 1) "
+        f"CASE WHEN {expr} LIKE {_DB_PREFIX} THEN substr({expr}, instr({expr}, '}}') + 1) "
         f"ELSE {expr} END"
     )
     norm = _rr(part, _FRONTEND_TEMPLATE, ":param", dialect)
     norm = _rr(norm, "^/+", "", dialect)
     pure_template = (
-        f"({expr} LIKE '${{%' AND {expr} LIKE '%}}' "
-        f"AND instr(substr({expr}, 3), '${{') = 0)"
+        f"({expr} LIKE {_DB_PREFIX} AND {expr} LIKE '%}}' "
+        f"AND instr(substr({expr}, 3), {_DB}) = 0)"
     )
-    no_close = f"({expr} LIKE '${{%' AND instr({expr}, '}}') = 0)"
+    no_close = f"({expr} LIKE {_DB_PREFIX} AND instr({expr}, '}}') = 0)"
     return f"CASE WHEN {pure_template} OR {no_close} THEN NULL ELSE '/' || ({norm}) END"
 
 

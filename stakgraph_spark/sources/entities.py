@@ -181,7 +181,20 @@ def endpoints_df(spark: SparkSession) -> DataFrame:
 def _union_all(rows: list[tuple], cols: list[str], types: list[str]) -> str:
     def lit(v, t):
         if t == "STRING":
-            return "'" + str(v).replace("'", "''") + "'"
+            s = str(v).replace("'", "''")
+            if "${" in s:
+                # Never emit the `${` digram in SQL text: Spark's
+                # variable substitution (ON by default; the driver's
+                # session does not disable it) rewrites `${...}` spans
+                # before parsing. Split so each literal is digram-free
+                # and re-join with ||, which both Spark SQL and DuckDB
+                # parse as string concat.
+                parts = s.split("${")
+                frags = ["'" + parts[0] + "'"] + [
+                    "'$' || '{" + p + "'" for p in parts[1:]
+                ]
+                return "(" + " || ".join(frags) + ")"
+            return "'" + s + "'"
         return f"CAST({v} AS {t})"
 
     first = "SELECT " + ", ".join(
