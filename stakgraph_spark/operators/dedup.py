@@ -90,13 +90,14 @@ def ngram_jaccard_pairs(
     combined) + a semi-join. Note the cap changes semantics only for
     pairs whose ONLY shared shingles are that hot (at max_posting =
     1000 such a pair has Jaccard < 1/1000 for any real document, far
-    below any useful threshold). The intersection count still uses
-    the capped list on both sides, so jaccard stays exact for every
-    surviving candidate's surviving shingles; at 10^12 docs use
+    below any useful threshold). Both the intersection AND the union
+    denominator are computed over the capped shingle universe, so
+    jaccard is EXACT over the surviving shingles — numerator and
+    denominator agree; a pair is never dropped merely because one
+    side also contained hot boilerplate. At 10^12 docs use
     minhash_lsh_pairs instead.
     """
     sh = shingles(documents)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cold = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -104,6 +105,7 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh_capped = sh.join(cold, "shingle", "left_semi")
+    sizes = sh_capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh_capped.selectExpr("doc_id AS doc_a", "shingle")
     b = sh_capped.selectExpr("doc_id AS doc_b", "shingle")
     inter = (

@@ -173,9 +173,14 @@ def _entity_rows() -> list[tuple]:
         + list(E.TOOLS)
         + [(i, E.endpoint_name(v, s), "Endpoint") for i, v, s in E.ENDPOINTS]
     )
+    # Endpoint keys carry the verb as the 5th node_key arm: the
+    # reference's create_node_key appends sanitize(verb) whenever the
+    # node's meta carries one (utils.rs:83-88), and
+    # process_endpoint_groups already rebuilds rewritten endpoint
+    # keys WITH the verb — base keys must agree.
     return [
         (
-            node_key_py(t, n, "entities", i),
+            node_key_py(t, n, "entities", i, verb=ep_verbs.get(i) if t == "Endpoint" else None),
             t,
             n,
             "entities",
@@ -376,7 +381,11 @@ def local_nodes(spark: SparkSession, transcripts: DataFrame, requests: DataFrame
         "CASE WHEN tool != '' THEN ';tool=' || tool ELSE '' END AS meta",
     )
 
-    reqs = requests.selectExpr(
+    # Request NODES are one per distinct (conv, turn, verb, path):
+    # a turn containing the same 'VERB path' string twice must yield
+    # one node (its node_key is the same) — per-family dedup before
+    # the wide key strings, same invariant as build_edges.
+    reqs = requests.select("conv_id", "turn_idx", "verb", "path").distinct().selectExpr(
         f"{_request_key_sql('conv_id', 'turn_idx')} AS node_key",
         "'Request' AS node_type",
         "path AS name",
@@ -538,7 +547,8 @@ def local_edges(
         import_convs, "CONTAINS", _conv_key_sql("conv_id"), _import_key_sql("conv_id", "istart")
     )
     contains_request = _edge(
-        requests, "CONTAINS", _turn_key_sql("conv_id", "turn_idx"),
+        requests.select("conv_id", "turn_idx", "verb", "path").distinct(),
+        "CONTAINS", _turn_key_sql("conv_id", "turn_idx"),
         _request_key_sql("conv_id", "turn_idx"),
     )
 

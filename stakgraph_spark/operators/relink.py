@@ -35,7 +35,11 @@ def relink_api_nodes(nodes: DataFrame) -> DataFrame:
     """link_api_nodes over graph-resident nodes (linker.rs:129-163):
     Request nodes matched to Endpoint nodes by normalized-frontend
     path vs the endpoint's raw path (the part after the verb in its
-    name), equal segment count, verb equality (meta). -> CALLS edges.
+    name), equal segment count, verb match. Verb semantics follow the
+    reference's verbs_match (linker.rs:232-239): false unless BOTH
+    sides carry a verb, compared case-insensitively — so the join
+    filters empty verbs on each side and keys on upper(verb); two
+    verb-less nodes never link on ''=''. -> CALLS edges.
     """
     norm = normalize_frontend_path_sql("name", "spark")
     reqs = (
@@ -43,9 +47,9 @@ def relink_api_nodes(nodes: DataFrame) -> DataFrame:
         .selectExpr(
             "node_key AS req_key",
             f"{norm} AS rpath",
-            "regexp_extract(meta, '(^|;)verb=([^;]*)', 2) AS verb",
+            "upper(regexp_extract(meta, '(^|;)verb=([^;]*)', 2)) AS verb",
         )
-        .where("rpath IS NOT NULL")
+        .where("rpath IS NOT NULL AND verb != ''")
         .selectExpr("req_key", "rpath", "verb", f"{n_segments_sql('rpath', 'spark')} AS nseg")
     )
     eps = (
@@ -53,8 +57,9 @@ def relink_api_nodes(nodes: DataFrame) -> DataFrame:
         .selectExpr(
             "node_key AS ep_key",
             "regexp_extract(name, '^[A-Z]+ (.*)$', 1) AS epath",
-            "regexp_extract(meta, '(^|;)verb=([^;]*)', 2) AS verb",
+            "upper(regexp_extract(meta, '(^|;)verb=([^;]*)', 2)) AS verb",
         )
+        .where("verb != ''")
         .selectExpr("ep_key", "epath", "verb", f"{n_segments_sql('epath', 'spark')} AS nseg")
     )
     match = paths_match_sql("rpath", "epath", "spark")

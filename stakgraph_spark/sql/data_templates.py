@@ -48,11 +48,14 @@ def _sizes() -> str:
 
 
 def ngram_jaccard_pairs(threshold: float = 0.6, max_posting: int = 1000) -> str:
-    # mirrors the engine's hot-shingle posting-list cap (dedup.py)
+    # mirrors the engine's hot-shingle posting-list cap (dedup.py);
+    # sizes come from the CAPPED shingle set so numerator and
+    # denominator share one universe (jaccard exact over survivors)
     return f"""
-WITH sh0 AS ({_shingles()}), sizes AS ({_sizes()}),
+WITH sh0 AS ({_shingles()}),
 cold AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_posting}),
 sh AS (SELECT sh0.* FROM sh0 JOIN cold ON cold.shingle = sh0.shingle),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -22,7 +22,7 @@ Semantics mirrored from the reference:
 
 from __future__ import annotations
 
-from ..functions.keys import node_key_sql
+from ..functions.keys import node_key_sql, sanitize_sql
 from ..sources import entities as E
 
 D = "duckdb"
@@ -281,7 +281,9 @@ canon AS (
   FROM reach GROUP BY src
 ),
 ent_nodes AS (
-  SELECT {_ent_key('e.entity_type', 'e.canonical_name', 'e.entity_id')} AS node_key,
+  SELECT {_ent_key('e.entity_type', 'e.canonical_name', 'e.entity_id')} ||
+         CASE WHEN e.entity_type = 'Endpoint'
+              THEN '-' || {sanitize_sql('ep.verb', D)} ELSE '' END AS node_key,
          e.entity_type AS node_type, e.canonical_name AS name,
          'entities' AS file, e.entity_id AS start, c.canon_id AS canon_id,
          {_NULL_S} AS data_type,
@@ -335,7 +337,7 @@ nodes AS (
   SELECT {_request_key('conv_id', 'turn_idx')}, 'Request', path, 'corpus/' || conv_id,
          turn_idx, turn_idx, verb || ' ' || path, {_NULL_S}, md5(verb || ' ' || path),
          {_NULL_S}, 'parent=turn_' || CAST(turn_idx AS STRING) || ';verb=' || verb
-  FROM requests
+  FROM (SELECT DISTINCT conv_id, turn_idx, verb, path FROM requests)
   UNION ALL
   SELECT node_key, node_type, name, file, start, start,
          '', {_NULL_S}, {_NULL_S}, data_type, meta
