@@ -172,6 +172,29 @@ def paginate(df: DataFrame, order_cols: list[str], skip: int, limit: int) -> Dat
     )
 
 
+def page_by_cursor(
+    df: DataFrame, order_cols: list[str], cursor: tuple | None = None, limit: int = 25
+) -> DataFrame:
+    """Keyset (cursor) pagination — the scale-safe restatement of the
+    reference's SKIP/LIMIT paging (queries.ts:55-61, explore.ts):
+    rows strictly AFTER `cursor` (the order_cols values of the last
+    row of the previous page) in lexicographic order, first `limit`.
+
+    Unlike paginate()'s single-partition row_number window (and
+    Neo4j's SKIP, which walks past every skipped row), the cursor is
+    a sargable predicate — page N costs the same as page 1 and the
+    filter pushes to the scan when the table is sorted/bucketed by
+    the order key. Deterministic iff order_cols is a unique key
+    (include node_key last). The caller feeds the last row of each
+    page back as the next cursor; None starts from the beginning.
+    """
+    out = df
+    if cursor is not None:
+        key = F.struct(*[F.col(c) for c in order_cols])
+        out = df.where(key > F.struct(*[F.lit(v) for v in cursor]))
+    return out.orderBy(*[F.asc(c) for c in order_cols]).limit(limit)
+
+
 # ---------------------------------------------------------------------------
 # Search (fulltext analog, queries.ts:266-306)
 # ---------------------------------------------------------------------------
@@ -214,13 +237,22 @@ def search_nodes(
 TOKENS_SPARK = "size(split(trim(body), '\\\\s+'))"
 
 
-def token_index(nodes: DataFrame) -> DataFrame:
+def token_index(nodes: DataFrame, max_body_df: int | None = None) -> DataFrame:
     """Inverted fulltext index over name+body — the analog of the
     reference's Neo4j fulltext indexes (standard analyzer over name
     and body, queries.ts:10-51; built once, queried by term).
     -> (token, node_key, field) with field in ('name', 'body'),
     distinct per (token, node_key, field); tokens lowercased and
     split on non-alphanumerics (the standard-analyzer shape).
+
+    max_body_df: stopword policy for BODY postings — a token whose
+    body posting list exceeds this document frequency ('the', 'and',
+    boilerplate) is dropped from the body side of the index; such a
+    token matches nearly everything, so its posting list dominates
+    every index-search join while adding ~no ranking signal (the same
+    hot-key bound as dedup's MAX_POSTING shingle cap). NAME postings
+    are never capped: exact-name lookups must always hit. One count
+    aggregate (map-side combined) + a semi-join.
 
     At scale this is a MATERIALIZED table bucketed by token: a
     search becomes a semi-join against the query's term list instead
@@ -234,7 +266,16 @@ def token_index(nodes: DataFrame) -> DataFrame:
             f"'{col}' AS field",
         )
 
-    return side("name").unionByName(side("body"))
+    body = side("body")
+    if max_body_df is not None:
+        cold = (
+            body.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_body_df)
+            .select("token")
+        )
+        body = body.join(cold, "token", "left_semi")
+    return side("name").unionByName(body)
 
 
 def search_via_index(
@@ -421,13 +462,27 @@ def repo_map(
         .selectExpr("node_key", "name AS path", "name", "tokens")
     ).localCheckpoint(eager=True)
     out = cur
+    cur_n = cur.count()
     for _ in range(1, depth + 1):
+        if cur_n == 0:
+            break
+        # The depth-1 frontier (directories) is tiny, but depth 2-3 is
+        # every conversation File / every turn Function — at corpus
+        # scale that frontier IS the node set, and broadcasting it
+        # each hop would OOM. Gate exactly as subtree() does: small
+        # frontier -> broadcast; past BROADCAST_FRONTIER_MAX the hop
+        # becomes a shuffle join on src (edges bucketable by
+        # source_key at rest).
+        f = cur.select(F.col("node_key").alias("src"), F.col("path").alias("ppath"))
+        if cur_n <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
         cur = (
-            e.join(F.broadcast(cur.select(F.col("node_key").alias("src"), F.col("path").alias("ppath"))), "src")
+            e.join(f, "src")
             .join(info, e["dst"] == info["node_key"])
             .selectExpr("node_key", "ppath || '/' || name AS path", "name", "tokens")
         ).localCheckpoint(eager=True)
-        if cur.limit(1).count() == 0:
+        cur_n = cur.count()
+        if cur_n == 0:
             break
         out = out.unionByName(cur)
     return out.selectExpr(
@@ -442,8 +497,15 @@ def shortest_path(
     edges: DataFrame, from_key: str, to_key: str, max_depth: int = 10,
     edge_types: tuple[str, ...] | None = None,
 ) -> list[str] | None:
-    """queries.ts:519-548 — BFS with parent tracking, then path
-    reconstruction on the driver. Returns the node_key path or None."""
+    """queries.ts:519-548 — BFS with parent tracking. Parents stay in
+    a DISTRIBUTED (node_key, parent) DataFrame throughout — nothing
+    frontier-sized is ever collected to the driver (a large component
+    would OOM it); the only driver-side transfers are a limit(1)
+    target probe per hop and, after the target is reached, one
+    single-row lookup per path step during reconstruction (bounded by
+    max_depth). Frontier/visited broadcasts are gated by
+    BROADCAST_FRONTIER_MAX exactly as in subtree(). Returns the
+    node_key path or None."""
     e = edges
     if edge_types:
         e = e.where(F.col("edge_type").isin(*edge_types))
@@ -452,27 +514,44 @@ def shortest_path(
         e.select(F.col("target_key").alias("src"), F.col("source_key").alias("dst"))
     )
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(from_key, None)], "node_key STRING, parent STRING")
+    visited = spark.sql(
+        "SELECT node_key, parent FROM VALUES ('"
+        + from_key.replace("'", "''")
+        + "', CAST(NULL AS STRING)) AS t(node_key, parent)"
+    ).localCheckpoint(eager=True)
     frontier = visited
-    parents: dict[str, str | None] = {from_key: None}
+    frontier_n = visited_n = 1
+    found = from_key == to_key
     for _ in range(max_depth):
+        if found:
+            break
+        f = frontier.select(F.col("node_key").alias("src"))
+        v = visited.select("node_key")
+        if frontier_n <= BROADCAST_FRONTIER_MAX:
+            f = F.broadcast(f)
+        if visited_n <= BROADCAST_FRONTIER_MAX:
+            v = F.broadcast(v)
         nxt = (
-            sym.join(F.broadcast(frontier.select(F.col("node_key").alias("src"))), "src")
+            sym.join(f, "src")
             .groupBy(F.col("dst").alias("node_key"))
             .agg(F.min("src").alias("parent"))  # deterministic parent pick
-            .join(F.broadcast(visited.select("node_key")), "node_key", "left_anti")
+            .join(v, "node_key", "left_anti")
             .localCheckpoint(eager=True)
         )
-        rows = nxt.collect() if nxt.limit(1).count() > 0 else []
-        if not rows:
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             return None
-        for r in rows:
-            parents[r["node_key"]] = r["parent"]
-        if to_key in parents:
-            path = [to_key]
-            while path[-1] != from_key:
-                path.append(parents[path[-1]])
-            return list(reversed(path))
-        visited = visited.unionByName(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited_n += frontier_n
         frontier = nxt
-    return None
+        found = nxt.where(F.col("node_key") == to_key).limit(1).count() > 0
+    if not found:
+        return None
+    # Path reconstruction: one 1-row point lookup per step against the
+    # distributed parent table (<= max_depth lookups, each a
+    # key-predicate scan — an index/bucket probe at rest).
+    path = [to_key]
+    while path[-1] != from_key:
+        row = visited.where(F.col("node_key") == path[-1]).select("parent").first()
+        path.append(row["parent"])
+    return list(reversed(path))

@@ -1,0 +1,122 @@
+"""Round-3 query-surface hardening: keyset pagination, body-posting
+stopword cap, and the broadcast-gate fallbacks of repo_map /
+shortest_path (round-2 VERDICT 'What's wrong' #2/#3 — correct at
+sf0.1, scale-killers unguarded)."""
+
+import pandas as pd
+
+from stakgraph_spark.operators import queryops as Q
+from stakgraph_spark.operators.materialize import REPO_KEY
+from tests.conftest import SF_SMALL
+
+
+def _g(spark):
+    import __spark_entry__ as ENTRY
+
+    return ENTRY._graph(spark, SF_SMALL)
+
+
+def test_page_by_cursor_partitions_the_ordered_set(spark):
+    g = _g(spark)
+    df = g["nodes"].select("node_key", "node_type")
+    full = sorted(r["node_key"] for r in df.select("node_key").collect())
+    pages, cursor = [], None
+    # unique order key => pages tile the full ordering exactly
+    for _ in range(1000):
+        page = Q.page_by_cursor(df, ["node_key"], cursor, limit=500).collect()
+        if not page:
+            break
+        pages.extend(r["node_key"] for r in page)
+        cursor = (page[-1]["node_key"],)
+    assert pages == full
+    # resuming from a cursor is stable: re-reading the same page
+    # returns the same rows (no SKIP drift)
+    c2 = (full[99],)
+    again = [r["node_key"] for r in Q.page_by_cursor(df, ["node_key"], c2, 10).collect()]
+    assert again == full[100:110]
+
+
+def test_page_by_cursor_plan_has_no_window(spark):
+    """The cursor page must be a filter + top-k — not the global
+    row_number window paginate() uses (the part that cannot scale).
+    (The node-build subtree legitimately contains its own window —
+    the turn-docs adjacency — so the assertion targets the pagination
+    operator: no row_number, and the limit is a TakeOrderedAndProject
+    with the cursor predicate pushed into the scans.)"""
+    g = _g(spark)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base = plan_of(g["nodes"])  # the build itself uses row_number (turn_idx)
+    cursor = plan_of(Q.page_by_cursor(g["nodes"], ["node_key"], ("m",), 10))
+    skip = plan_of(Q.paginate(g["nodes"], ["node_key"], 100, 10))
+    # cursor paging adds NO window on top of the build's own...
+    assert cursor.count("row_number") == base.count("row_number")
+    # ...while SKIP/LIMIT paging does (the single-partition global window)
+    assert skip.count("row_number") > base.count("row_number")
+    assert "TakeOrderedAndProject" in cursor
+    assert "Filter (struct(node_key" in cursor  # sargable cursor predicate
+
+
+def test_token_index_body_df_cap(spark):
+    g = _g(spark)
+    nodes = g["nodes"]
+    capped = Q.token_index(nodes, max_body_df=50).cache()
+    full = Q.token_index(nodes).cache()
+    # hot body tokens are gone from the body side...
+    hot = (
+        full.where("field = 'body'")
+        .groupBy("token")
+        .count()
+        .where("count > 50")
+        .select("token")
+    )
+    n_hot_left = capped.where("field = 'body'").join(hot, "token", "left_semi").count()
+    assert hot.count() > 0  # the corpus does have boilerplate tokens
+    assert n_hot_left == 0
+    # ...but name postings are untouched (exact-name lookup safety)
+    assert (
+        capped.where("field = 'name'").count() == full.where("field = 'name'").count()
+    )
+    # cold body postings survive byte-identically
+    cold_full = full.where("field = 'body'").join(hot, "token", "left_anti")
+    assert capped.where("field = 'body'").count() == cold_full.count()
+    capped.unpersist()
+    full.unpersist()
+
+
+def test_repo_map_shuffle_fallback_equals_broadcast_path(spark, monkeypatch):
+    """Force the frontier gate to trip on every hop: the shuffle-join
+    fallback must produce the identical map."""
+    g = _g(spark)
+    want = sorted(
+        tuple(r) for r in Q.repo_map(g["nodes"], g["edges"], REPO_KEY, depth=2).collect()
+    )
+    monkeypatch.setattr(Q, "BROADCAST_FRONTIER_MAX", 0)
+    got = sorted(
+        tuple(r) for r in Q.repo_map(g["nodes"], g["edges"], REPO_KEY, depth=2).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_shortest_path_distributed_parents(spark, monkeypatch):
+    g = _g(spark)
+    e = g["edges"]
+    turn_key = (
+        g["nodes"].where("node_type = 'Function'").select("node_key").first()["node_key"]
+    )
+    path = Q.shortest_path(e, REPO_KEY, turn_key, max_depth=5)
+    assert path is not None and path[0] == REPO_KEY and path[-1] == turn_key
+    # every consecutive pair is a real edge (undirected)
+    epairs = {
+        (r["source_key"], r["target_key"]) for r in e.select("source_key", "target_key").collect()
+    }
+    for a, b in zip(path, path[1:]):
+        assert (a, b) in epairs or (b, a) in epairs
+    # identical result when every broadcast gate trips (pure shuffle path)
+    monkeypatch.setattr(Q, "BROADCAST_FRONTIER_MAX", 0)
+    assert Q.shortest_path(e, REPO_KEY, turn_key, max_depth=5) == path
+    # unreachable + self cases
+    assert Q.shortest_path(e, REPO_KEY, "no-such-node", max_depth=3) is None
+    assert Q.shortest_path(e, REPO_KEY, REPO_KEY) == [REPO_KEY]
