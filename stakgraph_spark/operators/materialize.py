@@ -497,20 +497,39 @@ def _edge(df: DataFrame, edge_type: str, src: str, dst: str) -> DataFrame:
 
 
 def req_matched(requests: DataFrame, ent_nodes: DataFrame) -> DataFrame:
-    """Requests equi-joined to their Endpoint entity on
-    (verb, norm_path) — the partitioned-join form of link_api_nodes
-    (linker.rs:129-163). Shared by CALLS(Request->Endpoint) and
-    HANDLER."""
+    """Requests joined to their Endpoint entity with the GENERAL
+    link_api_nodes join — a (verb, n_segments) equi-join carrying the
+    segment-wise paths_match residual (linker.rs:129-163, 241-266),
+    the same shape relink_api_nodes applies over graph-resident
+    nodes. No corpus-specific path pattern: an endpoint template like
+    '/api/{id}/orders' would link here without code changes. The
+    endpoint dim stays broadcast; the residual only evaluates on the
+    few rows sharing (verb, segment count). Shared by
+    CALLS(Request->Endpoint) and HANDLER."""
+    from ..functions.paths import n_segments_sql, paths_match_sql
+
     spark = requests.sparkSession
     en = ent_nodes.select(F.col("start").alias("eid"), "node_key")
-    eps = F.broadcast(E.endpoints_df(spark))
+    eps = E.endpoints_df(spark).selectExpr(
+        "entity_id",
+        "verb AS ep_verb",
+        "'/api/' || seg || '/:param' AS epath",
+    ).selectExpr(
+        "entity_id", "ep_verb", "epath",
+        f"{n_segments_sql('epath', 'spark')} AS ep_nseg",
+    )
+    reqs = requests.selectExpr(
+        "conv_id", "turn_idx", "verb", "path", "norm_path",
+        f"{n_segments_sql('norm_path', 'spark')} AS r_nseg",
+    )
+    cond = (
+        (reqs["verb"] == eps["ep_verb"])
+        & (reqs["r_nseg"] == eps["ep_nseg"])
+        & F.expr(paths_match_sql("norm_path", "epath", "spark"))
+    )
     return (
-        requests.join(
-            eps,
-            (requests["verb"] == eps["verb"])
-            & (F.concat(F.lit("/api/"), eps["seg"], F.lit("/:param")) == requests["norm_path"]),
-        )
-        .drop(eps["verb"])
+        reqs.join(F.broadcast(eps), cond)
+        .drop("ep_verb", "r_nseg", "ep_nseg", "epath")
         .join(F.broadcast(en), F.col("entity_id") == F.col("eid"))
     )
 
