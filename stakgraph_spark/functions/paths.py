@@ -138,6 +138,81 @@ def paths_match_sql(a: str, b: str, dialect: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Small scalar parity fragments (dialect-identical SQL: CASE/substr/
+# instr/length parse the same in Spark SQL and DuckDB).
+# ---------------------------------------------------------------------------
+
+def trim_quotes_sql(expr: str, dialect: str = "spark") -> str:
+    """trim_quotes (reference ast/src/lang/parse/utils.rs:7-22):
+    trim whitespace, then strip ONE matching pair of double / single /
+    back quotes, else a single leading ':' (symbol form). Exactly one
+    rule applies, in that order."""
+    t = f"trim({expr})"
+    def pair(qsql: str) -> str:
+        # starts AND ends with the quote char, long enough to hold a pair
+        return (
+            f"substr({t}, 1, 1) = {qsql} AND substr({t}, length({t}), 1) = {qsql}"
+            f" AND length({t}) >= 2"
+        )
+    dq, sq, bq = "'\"'", "''''", "'`'"
+    return (
+        f"CASE WHEN {pair(dq)} THEN substr({t}, 2, length({t}) - 2)"
+        f" WHEN {pair(sq)} THEN substr({t}, 2, length({t}) - 2)"
+        f" WHEN {pair(bq)} THEN substr({t}, 2, length({t}) - 2)"
+        f" WHEN substr({t}, 1, 1) = ':' THEN substr({t}, 2)"
+        f" ELSE {t} END"
+    )
+
+
+def strip_url_sql(expr: str, dialect: str = "spark") -> str:
+    """URL -> path strip (reference ast/src/lang/mod.rs:552-567):
+    if the string contains '://', keep from the first '/' after the
+    authority (unchanged when the authority has no path); then cut at
+    '?' and at '#'; finally pop ONE trailing '/' when longer than 1.
+    Rendered as a chain of nested CASE rewrites — same order as the
+    reference's sequential finds."""
+    p0 = expr
+    # authority strip: rest = text after '://'; keep from its first '/'
+    rest = f"substr({p0}, instr({p0}, '://') + 3)"
+    p1 = (
+        f"CASE WHEN instr({p0}, '://') > 0 AND instr({rest}, '/') > 0"
+        f" THEN substr({rest}, instr({rest}, '/'))"
+        f" ELSE {p0} END"
+    )
+    p2 = f"CASE WHEN instr({p1}, '?') > 0 THEN substr({p1}, 1, instr({p1}, '?') - 1) ELSE {p1} END"
+    p3 = f"CASE WHEN instr({p2}, '#') > 0 THEN substr({p2}, 1, instr({p2}, '#') - 1) ELSE {p2} END"
+    return (
+        f"CASE WHEN length({p3}) > 1 AND substr({p3}, length({p3}), 1) = '/'"
+        f" THEN substr({p3}, 1, length({p3}) - 1) ELSE {p3} END"
+    )
+
+
+# Planted scalar dims (id, raw) — quote forms, symbol form, URL forms
+# with query/fragment/trailing-slash, and pass-throughs.
+SCALAR_CASES: list[tuple[int, str]] = [
+    (0, '"hello"'),
+    (1, "'world'"),
+    (2, "`tick`"),
+    (3, ":sym"),
+    (4, "  plain  "),
+    (5, '""'),
+    (6, '"mismatch\''),
+    (7, "https://example.com/a/b?x=1#frag"),
+    (8, "http://host"),
+    (9, "/already/path/"),
+    (10, "no-url?q=1#z"),
+    (11, "https://h.io/x/"),
+    (12, "/"),
+]
+
+
+def scalar_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(SCALAR_CASES, ["case_id", "raw"], ["INT", "STRING"])
+
+
+# ---------------------------------------------------------------------------
 # Planted path dims for the oracle-gated parity queries — the
 # reference's own unit cases (linker.rs:268-359) plus one of each
 # remaining template form, as (id, verb, raw_path) literals shared by

@@ -34,8 +34,15 @@ Node vocabulary — all 19 reference NodeTypes (mod.rs:27-50):
 
 Edge vocabulary — all 12 reference EdgeTypes (mod.rs:71-88):
   CONTAINS  repo->lang/dir, dir->conv, conv->turn/import/test,
-            turn->request (builder scaffold, core.rs:46-90)
-  USES      turn -> canonical entity (linked mention)
+            turn->request (builder scaffold, core.rs:46-90);
+            conv->extracted Var (get_vars scaffold); turn Function->
+            Var under the same-file/imported/same-dir tier cascade
+            (format.rs:561-617, operators/collect.py); turn Function
+            -> Datamodel from return-section type identifiers
+            (format.rs:621-644)
+  USES      turn -> canonical entity (linked mention, plus per-turn
+            CamelCase candidates typed by exact canonical name —
+            collect.rs:40-59)
   CALLS     turn -> tool Library; Request -> Endpoint
             (link_api_nodes, linker.rs:129-163); Test -> referencing
             turn (shared-test-id link, linker.rs:56-127)
@@ -125,6 +132,10 @@ def _request_key_sql(conv: str, turn: str) -> str:
     return node_key_sql(
         "'Request'", "path", f"'corpus/' || {conv}", turn, "spark", verb="verb"
     )
+
+
+def _var_key_sql(vname: str, conv: str, turn: str) -> str:
+    return node_key_sql("'Var'", vname, f"'corpus/' || {conv}", turn, "spark")
 
 
 BUCKET_SQL = "substring(conv_id, 1, 9)"  # conversation bucket = 100-user directory
@@ -465,12 +476,28 @@ def global_nodes(
         "'' AS body", f"{NULL_S} AS docs", f"{NULL_S} AS hash", "data_type", "meta",
     )
 
+    # Extracted Var nodes — one per (Directory bucket, var name) at
+    # its bucket-FIRST declaring turn (collect.get_vars analog;
+    # cross-conversation pick => a globals family).
+    from .collect import bucket_first_var_defs
+
+    var_nodes = bucket_first_var_defs(transcripts).selectExpr(
+        f"{_var_key_sql('vname', 'd_conv', 'd_turn')} AS node_key",
+        "'Var' AS node_type",
+        "vname AS name",
+        "'corpus/' || d_conv AS file",
+        "d_turn AS start",
+        "d_turn AS `end`",
+        *_pad(meta="'parent=' || d_conv"),
+    )
+
     return (
         repo.unionByName(langs)
         .unionByName(dirs)
         .unionByName(tests)
         .unionByName(ents)
         .unionByName(insts)
+        .unionByName(var_nodes)
     )
 
 
@@ -581,8 +608,24 @@ def local_edges(
     canon_key = F.broadcast(
         en.select(F.col("eid").alias("canon_id"), F.col("node_key").alias("canon_key"))
     )
+    # Mention-USES plus candidate-USES: per-turn CamelCase identifier
+    # candidates (collect.rs:40-59 — dictionary-free extraction)
+    # typed by exact canonical-name match cover identifiers written
+    # by canonical name, which the case-sensitive alias path
+    # deliberately rejects. Both routes land in ONE family with one
+    # narrow distinct.
+    from .collect import typed_entity_candidates
+
+    mention_pairs = resolved.join(en_b, resolved["entity_id"] == en["eid"]).select(
+        "conv_id", "turn_idx", "canon_id"
+    )
+    cand_pairs = (
+        typed_entity_candidates(transcripts, E.entities_df(spark))
+        .join(en_b, F.col("entity_id") == en["eid"])
+        .select("conv_id", "turn_idx", "canon_id")
+    )
     uses = _edge(
-        resolved.join(en_b, resolved["entity_id"] == en["eid"])
+        mention_pairs.unionByName(cand_pairs)
         .join(canon_key, "canon_id")
         .select("conv_id", "turn_idx", "canon_key")
         .distinct(),
@@ -643,6 +686,23 @@ def local_edges(
     includes = _typed_mention_edges("INCLUDES", "Feature")
     renders = _typed_mention_edges("RENDERS", "Page")
 
+    # CONTAINS(Function turn -> dictionary Var) under the var-usage
+    # tier cascade (format.rs:561-617; only the 'imported' tier can
+    # accept for dictionary-resident vars — see collect.py) and
+    # CONTAINS(Function turn -> Datamodel) from return-section type
+    # identifiers (format.rs:621-644). Both are pure functions of the
+    # conversation's own rows + static dims => bucket-local.
+    from .collect import return_type_datamodels, var_usage_edges_dictionary
+
+    var_dict = _edge(
+        var_usage_edges_dictionary(resolved, ent_nodes),
+        "CONTAINS", _turn_key_sql("conv_id", "turn_idx"), "var_key",
+    )
+    ret_dm = _edge(
+        return_type_datamodels(transcripts, ent_nodes),
+        "CONTAINS", _turn_key_sql("conv_id", "turn_idx"), "dm_key",
+    )
+
     return (
         contains_conv.unionByName(contains_turn)
         .unionByName(contains_import)
@@ -654,6 +714,8 @@ def local_edges(
         .unionByName(imports_dyn)
         .unionByName(includes)
         .unionByName(renders)
+        .unionByName(var_dict)
+        .unionByName(ret_dm)
     )
 
 
@@ -710,12 +772,29 @@ def global_edges(
         "OF", "node_key", "canon_key",
     )
 
+    # Extracted Var scaffold + tiered usage (collect.py): the Var
+    # node's defining site is a bucket-FIRST pick (cross-conv) =>
+    # globals families, like first_def.
+    from .collect import bucket_first_var_defs, var_usage_edges_extracted
+
+    contains_var = _edge(
+        bucket_first_var_defs(transcripts),
+        "CONTAINS", _conv_key_sql("d_conv"), _var_key_sql("vname", "d_conv", "d_turn"),
+    )
+    var_extracted = _edge(
+        var_usage_edges_extracted(transcripts),
+        "CONTAINS", _turn_key_sql("conv_id", "turn_idx"),
+        _var_key_sql("vname", "d_conv", "d_turn"),
+    )
+
     return (
         contains_lang.unionByName(contains_dir)
         .unionByName(contains_test)
         .unionByName(calls_test)
         .unionByName(handler)
         .unionByName(of_canon)
+        .unionByName(contains_var)
+        .unionByName(var_extracted)
         .unionByName(static_edges(spark))
     )
 

@@ -205,6 +205,32 @@ testdefs AS (
   SELECT conv_id, turn_idx, text, unnest(regexp_extract_all(text, 'defines test_([0-9]+)', 1)) AS tid
   FROM transcripts
 ),
+cands AS (
+  SELECT DISTINCT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '\\b[A-Z][a-z0-9]+[A-Z][A-Za-z0-9]*\\b', 0)) AS name
+  FROM transcripts
+),
+vdefs AS (
+  SELECT conv_id, turn_idx,
+         'q_' || unnest(regexp_extract_all(text, 'tool:([a-z]+)\\(q=', 1)) AS vname
+  FROM transcripts
+),
+first_var AS (
+  SELECT vname, conv_id AS d_conv, turn_idx AS d_turn,
+         substring(conv_id, 1, 9) AS vbucket FROM (
+    SELECT vname, conv_id, turn_idx,
+           row_number() OVER (PARTITION BY substring(conv_id, 1, 9), vname
+                              ORDER BY conv_id, turn_idx) AS rk
+    FROM vdefs) WHERE rk = 1
+),
+vuses AS (SELECT DISTINCT conv_id, turn_idx, vname FROM vdefs),
+retidents AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(
+           CASE WHEN instr(text, '->') > 0 THEN substr(text, instr(text, '->') + 2) ELSE '' END,
+           '\\b[A-Z][A-Za-z0-9]*\\b', 0)) AS name
+  FROM transcripts
+),
 first_def AS (
   SELECT tid, conv_id AS d_conv, turn_idx AS d_turn, text AS d_text FROM (
     SELECT tid, conv_id, turn_idx, text,
@@ -346,6 +372,11 @@ nodes AS (
   SELECT node_key, node_type, name, file, start, start,
          '', {_NULL_S}, {_NULL_S}, class_name, ''
   FROM inst_nodes
+  UNION ALL
+  SELECT {node_key_sql("'Var'", 'vname', "'corpus/' || d_conv", 'd_turn', D)}, 'Var',
+         vname, 'corpus/' || d_conv, d_turn, d_turn,
+         '', {_NULL_S}, {_NULL_S}, {_NULL_S}, 'parent=' || d_conv
+  FROM first_var
 ),
 edges_raw AS (
   SELECT 'CONTAINS' AS edge_type, {REPO_KEY} AS source_key,
@@ -374,6 +405,36 @@ edges_raw AS (
   FROM resolved r
   JOIN canon c ON c.entity_id = r.entity_id
   JOIN ent_nodes en ON en.start = c.canon_id
+  UNION ALL
+  SELECT 'USES', {_turn_key('cd.conv_id', 'cd.turn_idx')}, en.node_key
+  FROM cands cd
+  JOIN ents e ON e.canonical_name = cd.name
+  JOIN canon c ON c.entity_id = e.entity_id
+  JOIN ent_nodes en ON en.start = c.canon_id
+  UNION ALL
+  SELECT 'CONTAINS', {_conv_key('d_conv')},
+         {node_key_sql("'Var'", 'vname', "'corpus/' || d_conv", 'd_turn', D)}
+  FROM first_var
+  UNION ALL
+  SELECT 'CONTAINS', {_turn_key('u.conv_id', 'u.turn_idx')},
+         {node_key_sql("'Var'", 'v.vname', "'corpus/' || v.d_conv", 'v.d_turn', D)}
+  FROM vuses u
+  JOIN first_var v ON v.vname = u.vname
+  LEFT JOIN importsecs i ON i.conv_id = u.conv_id
+  WHERE u.conv_id = v.d_conv
+     OR (i.ibody IS NOT NULL AND contains(i.ibody, u.vname))
+     OR substring(u.conv_id, 1, 9) = v.vbucket
+  UNION ALL
+  SELECT 'CONTAINS', {_turn_key('r.conv_id', 'r.turn_idx')}, en.node_key
+  FROM resolved r
+  JOIN ent_nodes en ON en.start = r.entity_id AND en.node_type = 'Var'
+  WHERE EXISTS (SELECT 1 FROM resolved r0
+                WHERE r0.conv_id = r.conv_id AND r0.turn_idx = 0
+                  AND r0.entity_id = r.entity_id)
+  UNION ALL
+  SELECT 'CONTAINS', {_turn_key('ri.conv_id', 'ri.turn_idx')}, en.node_key
+  FROM retidents ri
+  JOIN ent_nodes en ON en.node_type = 'Datamodel' AND en.name = ri.name
   UNION ALL
   SELECT 'CALLS', {_turn_key('tc.conv_id', 'tc.turn_idx')}, en.node_key
   FROM tool_calls tc

@@ -29,19 +29,32 @@ def test_census_sf0001(spark):
     assert node_census["IntegrationTest"] == 17
     assert node_census["E2etest"] == 16
     assert node_census["Request"] == 202  # one per assistant turn
+    # 1 dictionary Var + 3 extracted (one per (bucket, tool): 1
+    # bucket x q_search/q_fetch/q_calc at this sf)
+    assert node_census["Var"] == 4
     edge_census = {r["edge_type"]: r["n"] for r in g["edges"].groupBy("edge_type").agg(F.count("*").alias("n")).collect()}
     # ALL 12 reference EdgeTypes present (mod.rs:71-88)
     assert len(edge_census) == 12
     # 4 repo->lang + 1 repo->dir + 15 dir->conv + 1000 conv->turn
     # + 15 conv->import + 50 conv->test + 202 turn->request
-    assert edge_census["CONTAINS"] == 1287
+    # + 3 conv->extracted-Var + 201 turn->Var (tiered var usage, one
+    # per tool turn here: single bucket => tier-3 always accepts)
+    # + 0 turn->dict-Var (no conv imports entity 11 at this sf)
+    # + 0 turn->Datamodel (no Datamodel name in any return section)
+    assert edge_census["CONTAINS"] == 1491
     assert edge_census["OF"] == 42  # 3 canon-collapse + 39 Instance->Class
     assert edge_census["HANDLER"] == 5
     assert edge_census["PARENT_OF"] == 2
     assert edge_census["IMPLEMENTS"] == 2
     assert edge_census["OPERAND"] == 2
     assert edge_census["ARG_OF"] == 201  # one per tool turn's argument mention
-    assert g["triples"].count() == 3102
+    # USES includes the 15 turns whose CamelCase candidate names
+    # exactly match a canonical entity ('AuthCore' — the alias path
+    # rejects the case-variant, the candidate path types it by
+    # canonical name; 2 of them coincide with a lowercase mention of
+    # the same entity in the same turn and dedup away)
+    assert edge_census["USES"] == 901
+    assert g["triples"].count() == 3319
 
 
 def test_node_payload_sf0001(spark):
