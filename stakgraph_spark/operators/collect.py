@@ -137,18 +137,30 @@ def var_usage_edges_extracted(transcripts: DataFrame) -> DataFrame:
             "vname", "d_conv", "d_turn", f"substring(d_conv, 1, {BUCKET_LEN}) AS vbucket"
         )
     )
-    imports = transcripts.where("role = 'system'").groupBy("conv_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(turn_idx, text))), x -> x.text), chr(10))"
-        ).alias("ibody")
+    # Tier 2 ('import body contains var name') WITHOUT building the
+    # per-conversation body string: var names contain no newline, so
+    # substring-of-the-newline-joined-import-rollup is exactly
+    # substring-of-some-system-turn. Evaluated only for (conv, vname)
+    # pairs that are actual use-candidates, as a conv_id EQUI-join of
+    # those pairs against the conversation's own system turns with
+    # the contains() as a post-filter — co-partitioned, no string
+    # rollup, no nested-loop join. (The DuckDB oracle states the same
+    # tier over the rolled import body; outputs are provably equal.)
+    cand = uses.join(vars_dim, "vname")
+    cand_cv = cand.select("conv_id", "vname").distinct()
+    imp_hits = (
+        cand_cv.join(transcripts.where("role = 'system'").select("conv_id", "text"), "conv_id")
+        .where(F.expr("contains(text, vname)"))
+        .select("conv_id", "vname")
+        .distinct()
+        .withColumn("imported", F.lit(1))
     )
     return (
-        uses.join(vars_dim, "vname")
-        .join(imports, "conv_id", "left")
+        cand.join(imp_hits, ["conv_id", "vname"], "left")
         .where(
-            "(conv_id = d_conv)"                      # tier 1: same file
-            " OR (ibody IS NOT NULL AND contains(ibody, vname))"  # tier 2: imported
-            " OR (ubucket = vbucket)"                 # tier 3: same directory
+            "(conv_id = d_conv)"          # tier 1: same file
+            " OR (imported IS NOT NULL)"  # tier 2: imported
+            " OR (ubucket = vbucket)"     # tier 3: same directory
         )
         .select("conv_id", "turn_idx", "vname", "d_conv", "d_turn")
         .distinct()
@@ -228,3 +240,59 @@ def collect_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(COLLECT_CASES, ["turn_id", "text"], ["INT", "STRING"])
+
+
+def planted_turns_sql() -> str:
+    """The planted cases shaped as transcript rows (two conversations
+    sharing one bucket) — dialect-portable; both the Spark query and
+    the DuckDB oracle run this exact text."""
+    return (
+        "SELECT 'bucketA_c' || CAST(turn_id % 2 AS STRING) AS conv_id,"
+        " turn_id AS turn_idx, 'user' AS role, text, '' AS tool"
+        f" FROM ({collect_cases_cte()})"
+    )
+
+
+def collect_oracle_sql() -> str:
+    """DuckDB rendering of the kg_collect parity query — an
+    independent SQL implementation of every collect extractor over
+    the same planted rows."""
+    from ..functions.keys import node_key_sql
+    from ..sources.entities import entities_cte
+
+    dm_key = node_key_sql(
+        "'Datamodel'", "e.canonical_name", "'entities'", "e.entity_id", "duckdb"
+    )
+    return f"""
+WITH t AS ({planted_turns_sql()}),
+ents AS ({entities_cte()}),
+cands AS (SELECT DISTINCT conv_id, turn_idx,
+          unnest(regexp_extract_all(text, '\\b[A-Z][a-z0-9]+[A-Z][A-Za-z0-9]*\\b', 0)) AS name FROM t),
+vd AS (SELECT conv_id, turn_idx,
+       'q_' || unnest(regexp_extract_all(text, 'tool:([a-z]+)\\(q=', 1)) AS vname FROM t),
+fv AS (SELECT vname, conv_id AS d_conv, turn_idx AS d_turn,
+              substring(conv_id, 1, {BUCKET_LEN}) AS vbucket FROM (
+  SELECT vname, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY substring(conv_id, 1, {BUCKET_LEN}), vname
+                            ORDER BY conv_id, turn_idx) AS rk FROM vd) WHERE rk = 1),
+vu AS (SELECT DISTINCT conv_id, turn_idx, vname FROM vd),
+isec AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS ibody
+         FROM t WHERE role = 'system' GROUP BY conv_id),
+reti AS (SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(
+           CASE WHEN instr(text, '->') > 0 THEN substr(text, instr(text, '->') + 2) ELSE '' END,
+           '\\b[A-Z][A-Za-z0-9]*\\b', 0)) AS name FROM t)
+SELECT 'candidate' AS kind, c.turn_idx AS turn_id, c.name AS name, e.entity_type AS info
+FROM cands c JOIN ents e ON e.canonical_name = c.name
+UNION ALL
+SELECT 'var_def', d_turn, vname, d_conv FROM fv
+UNION ALL
+SELECT DISTINCT 'var_use', u.turn_idx, u.vname, v.d_conv
+FROM vu u JOIN fv v ON v.vname = u.vname
+LEFT JOIN isec i ON i.conv_id = u.conv_id
+WHERE u.conv_id = v.d_conv
+   OR (i.ibody IS NOT NULL AND contains(i.ibody, u.vname))
+   OR substring(u.conv_id, 1, {BUCKET_LEN}) = v.vbucket
+UNION ALL
+SELECT 'return_type', r.turn_idx, {dm_key}, 'Datamodel'
+FROM reti r JOIN ents e ON e.entity_type = 'Datamodel' AND e.canonical_name = r.name"""

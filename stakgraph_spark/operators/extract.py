@@ -152,10 +152,21 @@ DEFAULT_RULEPACK = [("mention", MENTION_RE, True)]
 TOOL_RULEPACK = [("tool", TOOL_RE, False)]
 TESTREF_RULEPACK = [("testref", TESTREF_RE, False)]
 
+
+def _candidate_rulepack():
+    # the per-turn CamelCase entity-candidate extractor (collect.py)
+    # as a pack — distinct per turn, like the reference's per-file
+    # collected-entity sets
+    from .collect import CAMEL_RE
+
+    return [("entity_candidate", CAMEL_RE, True)]
+
+
 RULEPACK_REGISTRY = {
     "mentions": DEFAULT_RULEPACK,
     "tool_calls": TOOL_RULEPACK,
     "test_refs": TESTREF_RULEPACK,
+    "entity_candidates": _candidate_rulepack(),
 }
 
 

@@ -74,6 +74,14 @@ def build_graph(
         requests = requests.persist()
     nodes = M.build_nodes(spark, transcripts, ent_nodes, first_def, requests)
     edges = M.build_edges(spark, transcripts, resolved, ent_nodes, first_def, requests)
+    if persist_intermediates:
+        # The query surface re-reads nodes/edges many times (set ops
+        # scan the edge union twice per call); pin the materialized
+        # tables too, not just the derivation prefix. At rest on a
+        # cluster these are the written output tables — the cache
+        # stands in for reading them back.
+        nodes = nodes.persist()
+        edges = edges.persist()
     return {
         "transcripts": transcripts,
         "mentions": mentions,
