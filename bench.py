@@ -5,13 +5,16 @@ Measures:
     local[$SPARK_GRAFT_CPUS] (default 32),
   * end-to-end KG-construction throughput (turns/sec, triples/sec),
   * the two-parallelism scaling protocol (BASELINE.md): the same
-    pipeline on the same deterministic synthetic corpus at local[N]
-    and local[4N]; efficiency = (thr_4N / thr_N) / 4. Stands in for
-    the N-vs-4N-executor cluster criterion (driver rule). Each
-    measurement runs in a FRESH process (scripts/scaling_run.py) —
+    pipeline on the same deterministic synthetic corpus (derived
+    ONCE, read by every leg) at local[N] and local[4N]; efficiency =
+    (thr_4N / thr_N) / 4. Stands in for the N-vs-4N-executor cluster
+    criterion (driver rule). Each measurement runs in a FRESH process
+    (scripts/scaling_run.py), cpuset-pinned to exactly N host CPUs —
     JVM heap/cache state does not leak between configs — with a
-    small same-shape warmup run excluded from timing (JIT/codegen),
-    best-of-K to damp the sandbox's noisy-neighbor variance, plus a
+    small same-shape warmup run excluded from timing (JIT/codegen).
+    Trials are ADJACENT (lo, hi) pairs judged per-pair; the HEADLINE
+    efficiency is the MEDIAN pair (the sandbox's CPU availability
+    drifts on ~minutes, so single pairs scatter 0.3-1.0), plus a
     pure-CPU calibration control documenting the host's own scaling
     ceiling at the same instant.
 
@@ -36,20 +39,22 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-# 8M turns: the largest corpus whose best-of-2 scaling leg reliably
-# fits a per-round bench budget on this VM (16M raises measured
-# efficiency ~0.69 -> ~0.75 but doubles the leg; see BENCH.md).
-SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
+# 4M turns: efficiency RISES with corpus size (fixed per-stage costs
+# amortize: measured 2->8 pair efficiency ~0.69 at 2M, ~0.85 at 4M in
+# the same window), while the pair wall stays small enough that >=3
+# adjacent pairs fit the time guard — the round-3 protocol reports
+# the MEDIAN pair, so sample count beats one longer leg (see BENCH.md).
+SCALE_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "4000000"))
 # 2,8 (not 8,32): the hypervisor throttles this host above ~8
 # busy cores — pinned probes measured 8->32 pure-CPU ceiling ~0.59
 # and the Spark job at 0.29 there, vs a 2->8 pinned pure-CPU ceiling
 # of ~0.64 which the job itself EXCEEDS (0.74). 2 vs 8 pinned cores
 # is the honest N-vs-4N-node comparison this host can express.
 SCALE_CORES = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(","))
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
 
 
-def _burn(q, cpus):
+def _burn(q, cpus, iters):
     import os as _os
     import time as _time
 
@@ -59,24 +64,28 @@ def _burn(q, cpus):
         pass
     t0 = _time.time()
     x = 0
-    for i in range(20_000_000):
+    for i in range(iters):
         x += i * i
     q.put(_time.time() - t0)
 
 
-def _cpu_calibration(cores_pair: tuple[int, int]) -> dict:
+def _cpu_calibration(cores_pair: tuple[int, int], iters: int = 20_000_000) -> dict:
     """Pure-CPU control: the host's own parallel-scaling ceiling,
     measured with dependency-free busy loops PINNED to the same
     cpusets as the Spark legs. Reported so the job's efficiency can
     be read against what the (noisy-neighbor, throttled) sandbox
-    physically delivers on those exact cores."""
+    physically delivers on those exact cores. The hypervisor caps
+    drift on ~minutes — a capped window shows ceilings of ~0.5 where
+    a quiet one shows ~0.9 — so a cheap probe runs PER PAIR (same
+    moment as its legs) and each pair is also judged normalized to
+    its own ceiling."""
     import multiprocessing as mp
 
     thr = {}
     for n in cores_pair:
         cpus = set(range(n))
         q = mp.Queue()
-        ps = [mp.Process(target=_burn, args=(q, cpus)) for _ in range(n)]
+        ps = [mp.Process(target=_burn, args=(q, cpus, iters)) for _ in range(n)]
         t0 = time.time()
         [p.start() for p in ps]
         [p.join() for p in ps]
@@ -89,7 +98,22 @@ def _cpu_calibration(cores_pair: tuple[int, int]) -> dict:
     }
 
 
-def _scaling_trial(cores: int, n_events: int) -> dict | None:
+def _write_scale_corpus(spark, n_events: int) -> str:
+    """Derive the synthetic corpus ONCE (full host parallelism — this
+    is input prep, not measurement) and park it on /dev/shm; every
+    pinned leg then reads the same parquet. Cuts ~60-80s of untimed
+    per-leg synthesis so more adjacent pairs fit the time guard, and
+    matches the production shape (input table already materialized)."""
+    from stakgraph_spark.sources.transcripts import derive_transcripts, synthetic_events
+
+    path = f"/dev/shm/sg_scale_corpus_{n_events}/transcripts.parquet"
+    derive_transcripts(spark, synthetic_events(spark, n_events, max(n_events // 400, 1))).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _scaling_trial(cores: int, n_events: int, corpus: str | None = None) -> dict | None:
     """One fresh-process measurement, PINNED to exactly `cores` host
     CPUs (taskset 0..cores-1; the JVM and all its GC/compiler/shuffle
     threads inherit the affinity). Without pinning, a 'local[2]' run
@@ -103,7 +127,7 @@ def _scaling_trial(cores: int, n_events: int) -> dict | None:
         "taskset", "-c", f"0-{cores - 1}",
         sys.executable, os.path.join(REPO, "scripts", "scaling_run.py"),
         str(cores), str(n_events),
-    ]
+    ] + ([corpus] if corpus else [])
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=1500, env=env, cwd=REPO,
@@ -167,6 +191,7 @@ def main() -> None:
     t0 = time.time()
     g["triples"].count()
     e2e_sec = time.time() - t0
+    corpus = _write_scale_corpus(spark, SCALE_EVENTS) if DO_SCALING else None
     spark.stop()
 
     result = {
@@ -196,43 +221,71 @@ def main() -> None:
         t_scaling = time.time()
         for i in range(SCALE_TRIALS):
             # time guard: always run >=2 pairs, stop launching more
-            # past 25 min (a throttled window can stretch one pair to
-            # 10+ min; the driver's bench budget matters more than a
-            # third sample)
-            if i >= 2 and time.time() - t_scaling > 1500:
+            # past 23 min elapsed (a throttled window can stretch one
+            # pair to 10+ min; the driver's bench budget matters more
+            # than a fifth sample)
+            if i >= 2 and time.time() - t_scaling > 1380:
                 break
-            r_lo = _scaling_trial(lo, SCALE_EVENTS)
-            r_hi = _scaling_trial(hi, SCALE_EVENTS)
+            r_lo = _scaling_trial(lo, SCALE_EVENTS, corpus)
+            r_hi = _scaling_trial(hi, SCALE_EVENTS, corpus)
             if r_lo and r_hi:
                 sp = r_hi["turns_per_sec"] / r_lo["turns_per_sec"]
+                eff = sp / (hi / lo)
+                # same-moment ceiling probe (~20-30s): what the host
+                # itself delivered for this pair's window. CLAMPED to
+                # 1.0 — parallel pure-CPU scaling cannot physically
+                # exceed perfect; a measured >1 is probe noise, and
+                # normalizing by it would overstate the job.
+                cal = _cpu_calibration((lo, hi), iters=12_000_000)
+                ceil = min(cal["cpu_ceiling_efficiency"], 1.0)
                 pairs.append(
                     {"lo": r_lo, "hi": r_hi, "speedup": round(sp, 3),
-                     "efficiency": round(sp / (hi / lo), 3)}
+                     "efficiency": round(eff, 3), "ceiling": ceil,
+                     "eff_norm": round(eff / ceil, 3) if ceil else None}
                 )
         scaling = {
             "protocol": (
-                f"same job + same {SCALE_EVENTS}-turn corpus at local[{lo}] vs local[{hi}], "
-                f"each pinned (taskset) to exactly that many host CPUs — an honest "
-                f"N-core vs {hi // lo}N-core node comparison; fresh JVM per run; warmup "
-                f"excluded; {SCALE_TRIALS} adjacent pairs, best pair by efficiency"
+                f"same job + same {SCALE_EVENTS}-turn corpus (derived once, read by "
+                f"every leg) at local[{lo}] vs local[{hi}], each pinned (taskset) to "
+                f"exactly that many host CPUs — an honest N-core vs {hi // lo}N-core "
+                f"node comparison; fresh JVM per run; warmup excluded; up to "
+                f"{SCALE_TRIALS} adjacent pairs; HEADLINE efficiency = MEDIAN of pairs"
             ),
             "corpus_turns": SCALE_EVENTS,
         }
         if pairs:
-            best = max(pairs, key=lambda p: p["efficiency"])
-            scaling[f"local{lo}"] = best["lo"]
-            scaling[f"local{hi}"] = best["hi"]
-            scaling["speedup"] = best["speedup"]
-            scaling["efficiency"] = best["efficiency"]
-            effs = sorted(p["efficiency"] for p in pairs)
+            def median(xs):
+                xs = sorted(xs)
+                mid = len(xs) // 2
+                return xs[mid] if len(xs) % 2 == 1 else round((xs[mid - 1] + xs[mid]) / 2, 3)
+
+            med = median([p["efficiency"] for p in pairs])
+            median_pair = min(pairs, key=lambda p: abs(p["efficiency"] - med))
+            scaling[f"local{lo}"] = median_pair["lo"]
+            scaling[f"local{hi}"] = median_pair["hi"]
+            scaling["speedup"] = median_pair["speedup"]
+            scaling["efficiency"] = med  # the gate number: median of pairs
+            scaling["efficiency_best"] = max(p["efficiency"] for p in pairs)
             scaling["pair_efficiencies"] = [p["efficiency"] for p in pairs]
-            scaling["efficiency_median"] = effs[len(effs) // 2]
+            scaling["pair_ceilings"] = [p["ceiling"] for p in pairs]
+            scaling["pair_efficiencies_normalized"] = [p["eff_norm"] for p in pairs]
+            # each pair normalized to ITS OWN same-moment pure-CPU
+            # ceiling (the host's caps drift faster than the trial
+            # sequence): the window-independent job-scaling signal
+            scaling["efficiency_normalized_median"] = median(
+                [p["eff_norm"] for p in pairs if p["eff_norm"] is not None]
+            )
+            scaling["n_pairs"] = len(pairs)
         scaling.update(_cpu_calibration((lo, hi)))
         if pairs and scaling.get("cpu_ceiling_efficiency"):
             scaling["efficiency_normalized_to_host_ceiling"] = round(
                 scaling["efficiency"] / scaling["cpu_ceiling_efficiency"], 3
             )
         result["scaling"] = scaling
+        if corpus:
+            import shutil
+
+            shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
 
     print(json.dumps(result))
 

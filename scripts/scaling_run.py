@@ -2,10 +2,16 @@
 leg so local[8] / local[32] measurements don't share heap, cache, or
 block-manager state.
 
-Usage: python scripts/scaling_run.py <cores> <n_events> [sf_dir]
+Usage: python scripts/scaling_run.py <cores> <n_events> [input_dir]
 Prints one JSON line {cores, turns, triples, sec, turns_per_sec}.
-If sf_dir is given, reads transcripts from it instead of the
-synthetic corpus.
+input_dir (optional):
+  * a testdata sf dir (events.parquet inside) -> transcripts derived
+    from its events, or
+  * a directory whose basename is transcripts.parquet (pre-derived
+    corpus written once by bench.py) -> read directly. Sharing one
+    on-disk corpus across every pinned leg keeps the N-vs-4N
+    comparison's untimed prep small; the measured section is the
+    BUILD either way.
 """
 
 from __future__ import annotations
@@ -43,7 +49,9 @@ def main() -> None:
     build_graph(spark, warm, repartition_by_conv=False)["triples"].count()
     warm.unpersist()
 
-    if sf_dir:
+    if sf_dir and os.path.basename(sf_dir.rstrip("/")) == "transcripts.parquet":
+        tr = spark.read.parquet(sf_dir)
+    elif sf_dir:
         tr = read_transcripts(spark, sf_dir)
     else:
         tr = derive_transcripts(spark, synthetic_events(spark, n_events, max(n_events // 400, 1)))

@@ -72,6 +72,39 @@ def weighted_pool(embeddings: DataFrame, first_weight: float = 1.2) -> DataFrame
     )
 
 
+def attach_embeddings(
+    nodes: DataFrame,
+    pooled: DataFrame,
+    node_col: str = "name",
+    label_col: str = "label",
+) -> DataFrame:
+    """Node-attached embeddings (the reference stores each node's
+    pooled vector as a node property, neo4j_utils.rs:223-229 /
+    embedding.rs:96-104; here vectors live in a separate table and
+    this operator materializes the property-attached view):
+    nodes + an `embedding` array column, joined `node_col` ->
+    `label_col` over weighted_pool's flat (label, dim, pooled) form.
+
+    The per-label array is rebuilt ORDERED BY dim via a sort of the
+    (dim, pooled) structs, so the attached vector is deterministic;
+    nodes without a pooled vector keep embedding = NULL (left join).
+    The pooled side is one row per (label, dim) — tiny relative to
+    the node table — and aggregates map-side before the join.
+    """
+    vecs = (
+        pooled.groupBy(label_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, pooled))), s -> s.pooled)").alias(
+                "embedding"
+            )
+        )
+        .withColumnRenamed(label_col, "__emb_key")
+    )
+    return nodes.join(
+        vecs, nodes[node_col] == F.col("__emb_key"), "left"
+    ).drop("__emb_key")
+
+
 def token_join(transcripts: DataFrame, names: DataFrame) -> DataFrame:
     """Turns whose text contains an entity's lowercase name as a
     whitespace token -> (conv_id, turn_idx, matched_name). names:

@@ -44,6 +44,40 @@ def read_jsonl(spark: SparkSession, out_dir: str, name: str = "graph"):
     return nodes, edges
 
 
+def prepare_upload_nodes(nodes: DataFrame, now_epoch: int) -> DataFrame:
+    """Upload-time property stamping (NodeQueryBuilder.build,
+    neo4j_utils.rs:61-90): every node row gains
+
+      ref_id                a per-upload node identifier. The
+                            reference mints uuid4 (with a TEST_REF_ID
+                            env escape hatch for determinism); here
+                            the id is the uuid-FORMATTED md5 of
+                            (node_key, now) — same shape and
+                            uniqueness, but deterministic, which the
+                            engine's parallelism-invariance and
+                            resume byte-identity gates require.
+      token_count           whitespace-proxy token count of the body
+                            (calculate_token_count analog; tiktoken
+                            absent in this container — declared stub,
+                            textstats.py).
+      date_added_to_graph   the upload timestamp (MERGE's $now).
+
+    Pure column expressions; stamp at sink time, not build time, so
+    the build output stays timestamp-free (resumable byte-identity).
+    """
+    h = f"md5(node_key || ':' || '{int(now_epoch)}')"
+    ref_id = (
+        f"concat_ws('-', substr({h},1,8), substr({h},9,4), substr({h},13,4), "
+        f"substr({h},17,4), substr({h},21,12))"
+    )
+    return nodes.selectExpr(
+        "*",
+        f"{ref_id} AS ref_id",
+        "CAST(size(split(trim(body), '\\\\s+')) AS BIGINT) AS token_count",
+        f"CAST({int(now_epoch)} AS BIGINT) AS date_added_to_graph",
+    )
+
+
 def write_graph_parquet(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """Columnar graph store: edges partitioned by edge_type (queries
     filter on it; partition pruning makes per-predicate scans free)."""

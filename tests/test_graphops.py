@@ -58,6 +58,31 @@ def test_jsonl_roundtrip(spark):
     )
 
 
+def test_prepare_upload_nodes_stamping(spark):
+    """Upload-time ref_id / token_count / date_added_to_graph
+    stamping (neo4j_utils.rs:61-90): uuid-shaped deterministic
+    ref_id, unique per node, stable across calls with the same
+    timestamp; token_count matches the whitespace proxy."""
+    import re
+
+    g = _g(spark)
+    nodes = g["nodes"].limit(200)
+    up = sinks.prepare_upload_nodes(nodes, 1_700_000_000)
+    rows = up.select("node_key", "ref_id", "token_count", "date_added_to_graph", "body").collect()
+    assert len(rows) == len({r["ref_id"] for r in rows})  # unique per node
+    uuid_re = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    for r in rows:
+        assert uuid_re.match(r["ref_id"])
+        assert r["date_added_to_graph"] == 1_700_000_000
+        assert r["token_count"] == len(r["body"].strip().split()) if r["body"].strip() else True
+    # deterministic: same timestamp -> same ids (resume byte-identity)
+    again = {r["node_key"]: r["ref_id"] for r in sinks.prepare_upload_nodes(nodes, 1_700_000_000).select("node_key", "ref_id").collect()}
+    assert all(again[r["node_key"]] == r["ref_id"] for r in rows)
+    # different upload time -> different ids (per-upload identity)
+    other = {r["node_key"]: r["ref_id"] for r in sinks.prepare_upload_nodes(nodes, 1_800_000_000).select("node_key", "ref_id").collect()}
+    assert all(other[r["node_key"]] != r["ref_id"] for r in rows)
+
+
 def test_shortest_path_and_has_edge(spark):
     g = _g(spark)
     e = g["edges"]

@@ -4,6 +4,7 @@ shortest_path (round-2 VERDICT 'What's wrong' #2/#3 — correct at
 sf0.1, scale-killers unguarded)."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from stakgraph_spark.operators import queryops as Q
 from stakgraph_spark.operators.materialize import REPO_KEY
@@ -98,6 +99,39 @@ def test_repo_map_shuffle_fallback_equals_broadcast_path(spark, monkeypatch):
         tuple(r) for r in Q.repo_map(g["nodes"], g["edges"], REPO_KEY, depth=2).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_attach_embeddings(spark):
+    """Node-attached embeddings: vectors land ordered by dim on
+    matching nodes, NULL elsewhere, row count preserved."""
+    from stakgraph_spark.operators.embedpool import attach_embeddings, weighted_pool
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # node names are strings; render the numeric test labels as such
+    pooled = weighted_pool(embs).withColumn("label", F.col("label").cast("string"))
+    nodes = _g(spark)["nodes"]
+    some_label = pooled.select("label").first()["label"]
+    # graft one node name onto a pooled label to guarantee a match
+    nodes2 = nodes.limit(50).withColumn(
+        "name",
+        F.when(F.col("node_type") == "Function", some_label).otherwise(F.col("name")),
+    )
+    out = attach_embeddings(nodes2, pooled)
+    rows = out.select("name", "node_type", "embedding").collect()
+    assert len(rows) == 50
+    dim = pooled.groupBy("label").count().first()["count"]
+    for r in rows:
+        if r["name"] == some_label:
+            assert r["embedding"] is not None and len(r["embedding"]) == dim
+        else:
+            assert r["embedding"] is None
+    # ordered by dim: matches the flat form re-read in dim order
+    flat = {
+        r["dim"]: r["pooled"]
+        for r in pooled.where(pooled["label"] == some_label).collect()
+    }
+    vec = next(r["embedding"] for r in rows if r["name"] == some_label)
+    assert list(vec) == [flat[d] for d in sorted(flat)]
 
 
 def test_shortest_path_distributed_parents(spark, monkeypatch):
