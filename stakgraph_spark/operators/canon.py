@@ -7,20 +7,26 @@ requirement): canon_id = min entity_id reachable in the undirected
 same-as graph.
 
 Size-adaptive execution — the same rule Spark applies to joins
-(broadcast vs shuffle):
+(broadcast vs shuffle). The adaptive dimension is the EDGE set only;
+the ids relation is never collected (at 100x scale the entity table
+can be billions of rows over a tiny alias-edge set):
 
 * same-as graph fits on the driver (< `driver_threshold` edges):
-  collect + union-find, then return a literal mapping DataFrame.
+  collect the EDGES + union-find, then ship only the parent map
+  (bounded by 2·|edges| rows) back as a broadcast dim and LEFT-join
+  the ids to it distributed, coalescing untouched ids to themselves.
   A 28-row dictionary must not pay 20 shuffle rounds of scheduling
   overhead; at local[32] the iterative path costs ~25s of pure
   task-launch latency for zero data.
-* larger: distributed iterative hash-join min-label propagation —
-  the standard large-scale CC algorithm (labels(i) <- min over
-  neighbors until fixpoint, iterations ~ diameter). Each round is
-  one shuffle join on entity_id; `localCheckpoint` cuts lineage per
-  round; map-side combine on min() keeps hot components (a celebrity
-  entity with millions of aliases) from skewing the shuffle — a hot
-  key contributes one partial row per partition, not one per edge.
+* larger: distributed iterative min-label propagation with POINTER
+  JUMPING — each round combines the hash-min over neighbors with a
+  label(label(x)) shortcut join, so components converge in O(log
+  diameter) rounds instead of O(diameter) (the standard large-scale
+  CC recipe). Each round is shuffle joins on entity_id;
+  `localCheckpoint` cuts lineage per round; map-side combine on
+  min() keeps hot components (a celebrity entity with millions of
+  aliases) from skewing the shuffle — a hot key contributes one
+  partial row per partition, not one per edge.
 """
 
 from __future__ import annotations
@@ -43,6 +49,10 @@ def canonical_map(
 
 
 def _driver_union_find(ids: DataFrame, same_as: DataFrame) -> DataFrame:
+    """Union-find over the (small, gate-checked) edge set ONLY; the
+    ids relation stays distributed — the parent map is a broadcast
+    dim of at most 2·|edges| rows, ids LEFT-join it and coalesce to
+    themselves."""
     spark = ids.sparkSession
     parent: dict[int, int] = {}
 
@@ -54,18 +64,25 @@ def _driver_union_find(ids: DataFrame, same_as: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
+    touched: set[int] = set()
     for a, b in [(r[0], r[1]) for r in same_as.collect()]:
-        ra, rb = find(int(a)), find(int(b))
+        a, b = int(a), int(b)
+        touched.add(a)
+        touched.add(b)
+        ra, rb = find(a), find(b)
         if ra != rb:
             # union by min so the representative is already the min label
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
 
-    mapping = spark.createDataFrame(
-        [(int(i[0]), find(int(i[0]))) for i in ids.collect()],
-        "entity_id INT, canon_id INT",
+    pmap = spark.createDataFrame(
+        [(x, find(x)) for x in sorted(touched)] or [],
+        "entity_id INT, root_id INT",
     )
-    return mapping
+    return ids.join(F.broadcast(pmap), "entity_id", "left").select(
+        "entity_id",
+        F.coalesce(F.col("root_id"), F.col("entity_id").cast("int")).alias("canon_id"),
+    )
 
 
 def _label_propagation(ids: DataFrame, same_as: DataFrame, max_iter: int) -> DataFrame:
@@ -82,14 +99,26 @@ def _label_propagation(ids: DataFrame, same_as: DataFrame, max_iter: int) -> Dat
             .groupBy(F.col("a").alias("entity_id"))
             .agg(F.min("canon_id").alias("nmin"))
         )
+        hashed = labels.join(neighbor_min, "entity_id", "left").select(
+            "entity_id",
+            F.least(F.col("canon_id"), F.coalesce(F.col("nmin"), F.col("canon_id"))).alias(
+                "canon_id"
+            ),
+        )
+        # pointer jumping: label(x) <- min(label(x), label(label(x))).
+        # Every canon_id is itself an entity_id in `labels` (labels
+        # start as ids and min() only moves between them), so the
+        # shortcut is an inner equi-join; it halves the remaining
+        # path length each round -> O(log diameter) convergence.
+        jump = hashed.select(F.col("canon_id").alias("jkey"), "entity_id")
         new_labels = (
-            labels.join(neighbor_min, "entity_id", "left")
-            .select(
-                "entity_id",
-                F.least(F.col("canon_id"), F.coalesce(F.col("nmin"), F.col("canon_id"))).alias(
-                    "canon_id"
+            jump.join(
+                hashed.select(
+                    F.col("entity_id").alias("jkey"), F.col("canon_id").alias("jcanon")
                 ),
+                "jkey",
             )
+            .select("entity_id", F.col("jcanon").alias("canon_id"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -103,11 +132,10 @@ def _label_propagation(ids: DataFrame, same_as: DataFrame, max_iter: int) -> Dat
         if changed == 0:
             return labels
     # Exhausting max_iter with labels still moving means components
-    # wider than max_iter hops exist — returning silently would be
+    # wider than 2^max_iter hops exist — returning silently would be
     # silent canonicalization corruption. Raise: the caller should
-    # rerun with a higher bound (or a pointer-jumping variant whose
-    # round count is O(log n)).
+    # rerun with a higher bound.
     raise RuntimeError(
         f"label propagation did not converge within max_iter={max_iter} "
-        "rounds; component diameter exceeds the bound"
+        "pointer-jumping rounds; component diameter exceeds the bound"
     )

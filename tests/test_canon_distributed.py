@@ -28,3 +28,41 @@ def test_distributed_equals_driver_union_find(spark):
 def test_distributed_empty_edges(spark):
     a = _cmap(spark, [1, 2, 3], [], driver_threshold=0)
     assert list(a["canon_id"]) == [1, 2, 3]
+
+
+def test_driver_path_never_collects_ids(spark):
+    """ids >> edges: the driver path must scale with the EDGE set
+    only — a large ids relation joins the parent map distributed
+    (round-3 verdict: the old path collected the full ids set)."""
+    ids_df = spark.range(0, 50_000).selectExpr("CAST(id AS INT) AS entity_id")
+    e_df = spark.createDataFrame([(7, 9), (9, 11), (100, 3)], "a INT, b INT")
+
+    cls = type(e_df)  # the concrete (classic) DataFrame class
+    n_collects = {"n": 0}
+    orig = cls.collect
+
+    def counting_collect(self):
+        n_collects["n"] += 1
+        rows = orig(self)
+        assert len(rows) <= 6, f"driver path collected {len(rows)} rows (ids leak)"
+        return rows
+
+    cls.collect = counting_collect
+    try:
+        out = canonical_map(ids_df, e_df, driver_threshold=1_000_000)
+    finally:
+        cls.collect = orig
+    assert n_collects["n"] >= 1  # the edge collect happened under the counter
+    got = {r["entity_id"]: r["canon_id"] for r in out.where("entity_id IN (3, 7, 9, 11, 100, 42)").collect()}
+    assert got == {3: 3, 7: 7, 9: 7, 11: 7, 100: 3, 42: 42}
+    assert out.count() == 50_000
+
+
+def test_label_propagation_pointer_jumping_deep_chain(spark):
+    """A chain of diameter 60 must converge well within 20 rounds:
+    pointer jumping makes convergence O(log diameter) (plain
+    propagation would need 60 rounds and raise)."""
+    ids = list(range(61))
+    edges = [(i, i + 1) for i in range(60)]
+    a = _cmap(spark, ids, edges, driver_threshold=0, max_iter=10)
+    assert set(a["canon_id"]) == {0}
