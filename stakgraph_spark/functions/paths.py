@@ -26,20 +26,24 @@ the SURVEY §2.4 prescription.
 
 from __future__ import annotations
 
-# Backend rewrite rules, applied IN ORDER (linker.rs:197-212).
-# Patterns are written with character classes instead of backslash
-# escapes wherever possible so one literal parses identically in
-# Spark SQL (backslash-escaped strings) and DuckDB (raw strings);
-# the remaining backslashes are doubled for Spark by _pat().
-_BACKEND_RULES: list[str] = [
-    "<[^>]*:?[^>]+>",          # Flask/FastAPI "<param>" / "<type:param>"
-    ":[^/]+",                  # Express/Rails ":param"
-    "[{][^}]+[}]",             # Go/Rust "{param}"
-    "[(][^)]+[)]",             # optional "(param)"
-    "[{][^}]+[?][}]",          # optional "{param?}"
-    r"\[\.\.\.[^\]]+\]",       # Next.js catch-all "[...param]"
-    r"\[[^\]]+\]",             # Next.js "[param]"
+# Backend rewrite rules, applied IN ORDER (linker.rs:197-212), NAMED
+# so a dialect pack can select which template styles its framework
+# uses (the per-language normalize override of the Stack trait —
+# operators/dialects.py). Patterns are written with character classes
+# instead of backslash escapes wherever possible so one literal
+# parses identically in Spark SQL (backslash-escaped strings) and
+# DuckDB (raw strings); the remaining backslashes are doubled for
+# Spark by _pat().
+BACKEND_RULES_NAMED: list[tuple[str, str]] = [
+    ("angle", "<[^>]*:?[^>]+>"),          # Flask/FastAPI "<param>" / "<type:param>"
+    ("colon", ":[^/]+"),                  # Express/Rails ":param"
+    ("brace", "[{][^}]+[}]"),             # Go/Rust "{param}"
+    ("paren", "[(][^)]+[)]"),             # optional "(param)"
+    ("brace_opt", "[{][^}]+[?][}]"),      # optional "{param?}"
+    ("catchall", r"\[\.\.\.[^\]]+\]"),    # Next.js catch-all "[...param]"
+    ("bracket", r"\[[^\]]+\]"),           # Next.js "[param]"
 ]
+_BACKEND_RULES: list[str] = [p for _, p in BACKEND_RULES_NAMED]
 
 _FRONTEND_TEMPLATE = "[$][{][^}]+[}]"  # ${var}
 
@@ -56,15 +60,24 @@ def _rr(expr: str, pattern: str, replacement: str, dialect: str) -> str:
     return f"regexp_replace({expr}, {_pat(pattern, dialect)}, '{replacement}'{flag})"
 
 
-def normalize_backend_path_sql(expr: str, dialect: str) -> str:
+def normalize_backend_path_sql(
+    expr: str, dialect: str, styles: list[str] | None = None
+) -> str:
     """SQL fragment: normalize_backend_path(expr) (linker.rs:195-230).
     Total (never NULL for non-NULL input). The rewrite chain appears
     exactly once: trailing-slash-except-root is the capture-group
     rewrite '(.)/+$' -> kept char (no-op on '/'), and the leading
     slash is ensured by stripping any leading slashes and
-    re-prepending one."""
+    re-prepending one.
+
+    styles: optional subset of BACKEND_RULES_NAMED names — a dialect
+    pack's declaration of which template-var styles its framework
+    writes (default: all, the reference's full chain). Canonical rule
+    ORDER is preserved regardless of the subset's order."""
     out = expr
-    for rule in _BACKEND_RULES:
+    for name, rule in BACKEND_RULES_NAMED:
+        if styles is not None and name not in styles:
+            continue
         out = _rr(out, rule, ":param", dialect)
     cap = "$1" if dialect == "spark" else "\\1"
     out = _rr(out, "(.)/+$", cap, dialect)      # strip trailing slash, keep root

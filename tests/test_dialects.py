@@ -1,0 +1,78 @@
+"""Dialect packs (operators/dialects.py): the Stack-trait hook
+surface as data. Each pack must (a) drive the Spark engine and the
+DuckDB oracle to identical rows from ONE definition, (b) genuinely
+change behavior on the shared planted dims, and (c) be addable with
+zero engine-code changes."""
+
+import duckdb
+
+from stakgraph_spark.operators import dialects as D
+
+
+def _spark_rows(spark, name, pack):
+    return sorted(
+        tuple(r) for r in D.run_dialect_pack(spark, name, pack).collect()
+    )
+
+
+def _oracle_rows(packs):
+    return sorted(tuple(r) for r in duckdb.sql(D.dialects_oracle_sql(packs)).fetchall())
+
+
+def test_every_shipped_pack_matches_its_oracle(spark):
+    got = []
+    for name in sorted(D.DIALECT_PACKS):
+        got.extend(_spark_rows(spark, name, D.DIALECT_PACKS[name]))
+    assert sorted(got) == _oracle_rows(D.DIALECT_PACKS)
+
+
+def test_packs_genuinely_differ_on_the_same_input(spark):
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def arm(name, kind):
+        return {(r[2], r[3]) for r in out[name] if r[1] == kind}
+
+    # request normalization: each pack rewrites a different template style
+    assert arm("flaskish", "norm") != arm("expressish", "norm") != arm("nextish", "norm")
+    # flaskish rewrites <id>, leaves {id}; nextish the reverse
+    fl = dict(arm("flaskish", "norm"))
+    nx = dict(arm("nextish", "norm"))
+    assert fl["0"] == "/api/items/:param" and fl["2"] == "/api/items/{id}"
+    assert nx["0"] == "/api/items/<id>" and nx["2"] == "/api/items/:param"
+    # classify_test: same name, three different classifications
+    assert arm("flaskish", "test") != arm("expressish", "test") != arm("nextish", "test")
+    assert dict(arm("nextish", "test"))["0"] == "IntegrationTest"  # its default
+    assert dict(arm("flaskish", "test"))["0"] == "UnitTest"        # ^unit_ rule
+    # handler pick: first vs last registered route
+    assert dict(arm("flaskish", "handler"))["GET /api/a"] == "conv_x#3"
+    assert dict(arm("expressish", "handler"))["GET /api/a"] == "conv_y#1"
+    # extraction rules: each pack extracts a different family
+    assert arm("flaskish", "extract") == {("0", "AuthCore"), ("3", "AuthCore")}
+    assert ("4", "calc") in arm("expressish", "extract")
+
+
+def test_new_pack_needs_no_code(spark):
+    """A brand-new 'language' is a dict literal: the same fixed
+    interpreters evaluate it engine-side and oracle-side with no
+    code changes anywhere."""
+    from stakgraph_spark.operators.extract import MENTION_RE
+
+    new_pack = {
+        "rules": [("mention", MENTION_RE, True)],
+        "request_styles": ["brace"],                     # only {param}
+        "test_classes": [("billing", "IntegrationTest")],
+        "default_test_class": "E2etest",                 # unusual default
+        "handler_pick": "last",
+    }
+    got = _spark_rows(spark, "novel", new_pack)
+    assert got == _oracle_rows({"novel": new_pack})
+    by_kind = {}
+    for _p, kind, i, v in got:
+        by_kind.setdefault(kind, {})[i] = v
+    assert by_kind["norm"]["2"] == "/api/items/:param"   # {id} rewritten
+    assert by_kind["norm"]["0"] == "/api/items/<id>"     # <id> untouched
+    assert by_kind["test"]["1"] == "IntegrationTest"     # 'billing' rule
+    assert by_kind["test"]["0"] == "E2etest"             # the new default
+    assert by_kind["handler"]["GET /api/a"] == "conv_y#1"
