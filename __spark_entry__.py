@@ -77,9 +77,13 @@ def _q_rulepacks(spark, sf_dir):
 
     tr = read_transcripts(spark, sf_dir)
     out = None
-    for pack in ("mentions", "tool_calls", "test_refs", "entity_candidates"):
-        df = extract_mentions_rulepack(tr, RULEPACK_REGISTRY[pack]).drop("rule")
-        if pack in ("mentions", "entity_candidates"):
+    # iterate the REGISTRY (not a hard-coded list) so a pack added
+    # later is automatically driver-checked; the global distinct is
+    # derived from the pack's own per-turn-dedup flags (ADVICE r3 #3)
+    for pack in sorted(RULEPACK_REGISTRY):
+        rules = RULEPACK_REGISTRY[pack]
+        df = extract_mentions_rulepack(tr, rules).drop("rule")
+        if all(d for _, _, d in rules):
             df = df.distinct()
         df = df.selectExpr(f"'{pack}' AS pack", "conv_id", "turn_idx", "surface")
         out = df if out is None else out.unionByName(df)
@@ -149,16 +153,20 @@ def _q_uses_by_entity(spark, sf_dir):
 
 # --- graph query surface (SURVEY.md §2.3 / §2.12) ---
 
-def _q_find_class_nodes(spark, sf_dir):
-    from stakgraph_spark.operators.queryops import find_nodes_by_type
+def _q_class_filters(spark, sf_dir):
+    """find_nodes_by_type + find_nodes_by_name_contains in one tagged
+    query (merged to keep the contract surface at 50)."""
+    from stakgraph_spark.operators.queryops import (
+        find_nodes_by_name_contains,
+        find_nodes_by_type,
+    )
 
-    return find_nodes_by_type(_graph(spark, sf_dir)["nodes"], "Class")
-
-
-def _q_name_contains(spark, sf_dir):
-    from stakgraph_spark.operators.queryops import find_nodes_by_name_contains
-
-    return find_nodes_by_name_contains(_graph(spark, sf_dir)["nodes"], "Class", "Core")
+    nodes = _graph(spark, sf_dir)["nodes"]
+    a = find_nodes_by_type(nodes, "Class").selectExpr("'by_type' AS fkind", "*")
+    b = find_nodes_by_name_contains(nodes, "Class", "Core").selectExpr(
+        "'contains' AS fkind", "*"
+    )
+    return a.unionByName(b)
 
 
 def _q_nodes_with_uses_edges(spark, sf_dir):
@@ -303,10 +311,16 @@ def _q_embed_cosine_pairs(spark, sf_dir):
     return cosine_pairs(_embs(spark, sf_dir), 0.3)
 
 
-def _q_ann_topk(spark, sf_dir):
-    from stakgraph_spark.operators.similarity import ann_topk
+def _q_sim_topk(spark, sf_dir):
+    """Brute-force exact top-k (the declared-exact baseline) and the
+    IVF nprobe approximate path in one mode-tagged query."""
+    from stakgraph_spark.operators.similarity import ann_topk, ivf_topk
 
-    return ann_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], 5)
+    embs = _embs(spark, sf_dir)
+    cols = ["query_id", "vec_id", "cos", "rk"]
+    a = ann_topk(embs, [0, 1, 2, 3, 4], 5).selectExpr("'brute' AS mode", *cols)
+    b = ivf_topk(embs, [0, 1, 2, 3, 4], 5).selectExpr("'ivf' AS mode", *cols)
+    return a.unionByName(b)
 
 
 def _q_ann_lsh_pairs(spark, sf_dir):
@@ -315,10 +329,77 @@ def _q_ann_lsh_pairs(spark, sf_dir):
     return lsh_cosine_pairs(_embs(spark, sf_dir), 0.25)
 
 
-def _q_ivf_topk(spark, sf_dir):
-    from stakgraph_spark.operators.similarity import ivf_topk
+def _q_dialects(spark, sf_dir):
+    """Dialect packs (the Stack-trait hook surface as DATA): every
+    shipped pack's request-normalize / classify_test / handler_pick
+    hooks plus its extraction rules (through the Arrow rule-pack
+    executor) over the planted dims, pack-tagged — ONE pack
+    definition drives both this query and its DuckDB oracle."""
+    from stakgraph_spark.operators.dialects import DIALECT_PACKS, run_dialect_pack
 
-    return ivf_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], 5)
+    out = None
+    for name in sorted(DIALECT_PACKS):
+        df = run_dialect_pack(spark, name, DIALECT_PACKS[name])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _q_resume(spark, sf_dir):
+    """The resumable builder as a driver-checked query: build the
+    graph unit-by-unit through ResumableBuilder (manifest +
+    per-unit parquet + fingerprint skip; streaming/incremental.py),
+    read the units back, return the edges — must be byte-equal to
+    the single-shot kg_edges (same oracle SQL). A repeated run hits
+    the manifest fingerprints and rebuilds nothing (idempotent
+    resume as a query-level property).
+
+    The output dir is salted with a content hash of the engine
+    package: the manifest fingerprint covers only the INPUT rows, so
+    an engine-code change between rounds would otherwise let a stale
+    /tmp dir skip rebuild and return edges computed by old code."""
+    import glob
+    import hashlib
+    import os
+
+    from stakgraph_spark.sources.transcripts import read_transcripts
+    from stakgraph_spark.streaming.incremental import ResumableBuilder
+
+    pkg = os.path.dirname(os.path.abspath(__import__("stakgraph_spark").__file__))
+    src = hashlib.md5()
+    for p in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        with open(p, "rb") as f:
+            src.update(f.read())
+    salt = hashlib.md5(f"{sf_dir}:{src.hexdigest()}".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/sg_resume_q_{salt}"
+    rb = ResumableBuilder(out_dir, n_buckets=4)
+    rb.run(spark, read_transcripts(spark, sf_dir))
+    return rb.edges(spark).select("edge_type", "source_key", "target_key")
+
+
+def _q_em_attach(spark, sf_dir):
+    """attach_embeddings + prepare_upload_nodes on one driver-checked
+    surface: pooled document vectors land on matching turn nodes
+    (labels rendered as turn names), then every node row gains the
+    upload stamps (deterministic ref_id, token_count,
+    date_added_to_graph) at a FIXED epoch."""
+    from stakgraph_spark.operators.embedpool import attach_embeddings, weighted_pool
+    from stakgraph_spark.sources.sinks import prepare_upload_nodes
+
+    pooled = weighted_pool(_embs(spark, sf_dir)).withColumn(
+        "label", F.expr("'turn_' || CAST(label AS STRING)")
+    )
+    nodes = attach_embeddings(_graph(spark, sf_dir)["nodes"], pooled)
+    stamped = prepare_upload_nodes(nodes, 1_700_000_000)
+    return stamped.selectExpr(
+        "node_key",
+        "node_type",
+        "name",
+        "ref_id",
+        "token_count",
+        "date_added_to_graph AS date_added",
+        "(embedding IS NOT NULL) AS has_embedding",
+        "CAST(CASE WHEN embedding IS NOT NULL THEN size(embedding) ELSE 0 END AS INT) AS emb_dim",
+    )
 
 
 def _q_search_index(spark, sf_dir):
@@ -472,18 +553,17 @@ def _q_clean_graph(spark, sf_dir):
     return edges2
 
 
-def _q_find_endpoint(spark, sf_dir):
-    from stakgraph_spark.operators.queryops import find_endpoint
+def _q_point_lookups(spark, sf_dir):
+    """find_endpoint + find_resource_nodes in one tagged query
+    (merged to keep the contract surface at 50)."""
+    from stakgraph_spark.operators.queryops import find_endpoint, find_resource_nodes
 
-    return find_endpoint(
-        _graph(spark, sf_dir)["nodes"], "GET /api/orders/:param", "entities", "GET"
+    nodes = _graph(spark, sf_dir)["nodes"]
+    a = find_endpoint(nodes, "GET /api/orders/:param", "entities", "GET").selectExpr(
+        "'endpoint' AS lookup", "*"
     )
-
-
-def _q_resource_nodes(spark, sf_dir):
-    from stakgraph_spark.operators.queryops import find_resource_nodes
-
-    return find_resource_nodes(_graph(spark, sf_dir)["nodes"], "GET", "orders")
+    b = find_resource_nodes(nodes, "GET", "orders").selectExpr("'resource' AS lookup", "*")
+    return a.unionByName(b)
 
 
 def _q_source_edge(spark, sf_dir):
@@ -509,10 +589,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     singletons were merged (3 rule packs -> kg_rulepacks, 4 text-stat
     scalars -> tx_doc_stats, 2 signature tables -> dd_signatures,
     name/body search -> two-mode qs_search) rather than left to fall
-    off the end of the snapshot. Ordering puts round-3 additions and
-    the queries without a prior green driver row FIRST, veterans with
-    two green rounds last, in case the harness truncates early."""
+    off the end of the snapshot. Ordering puts the newest additions
+    and the queries without a prior green driver row FIRST, veterans
+    with green rounds last, in case the harness truncates early.
+
+    Round-4 surface changes (still exactly 50): NEW kg_dialects
+    (dialect packs), kg_resume (resumable builder), em_attach
+    (embedding attach + upload stamps); MERGED to make room:
+    qs_find_class_nodes + qs_name_contains -> qs_class_filters,
+    qs_find_endpoint + qs_resource_nodes -> qs_point_lookups,
+    sim_ann_topk + sim_ivf_topk -> sim_topk (every constituent
+    operator still runs, tagged)."""
     return {
+        # round-4: new / merged
+        "kg_dialects": _q_dialects,
+        "kg_resume": _q_resume,
+        "em_attach": _q_em_attach,
+        "qs_class_filters": _q_class_filters,
+        "qs_point_lookups": _q_point_lookups,
+        "sim_topk": _q_sim_topk,
         # round-3: previously red / previously unchecked / new
         "kg_path_norm": _q_path_norm,
         "kg_paths_match": _q_paths_match,
@@ -539,8 +634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_requests": _q_requests,
         "kg_uses_by_entity": _q_uses_by_entity,
         # graph query surface
-        "qs_find_class_nodes": _q_find_class_nodes,
-        "qs_name_contains": _q_name_contains,
         "qs_handler_join": _q_nodes_with_uses_edges,
         "qs_latest_per_type": _q_latest_per_type,
         "qs_coverage": _q_coverage,
@@ -548,8 +641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_subtree": _q_subtree,
         "qs_search_index": _q_search_index,
         "qs_token_census": _q_token_census,
-        "qs_find_endpoint": _q_find_endpoint,
-        "qs_resource_nodes": _q_resource_nodes,
         # set ops / ordered aggs / adjacency windows
         "so_conv_rollup": _q_conv_rollup,
         "so_prev_system": _q_prev_system,
@@ -563,9 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _q_dedup_simhash,
         # similarity search
         "sim_cosine_pairs": _q_embed_cosine_pairs,
-        "sim_ann_topk": _q_ann_topk,
         "sim_lsh_pairs": _q_ann_lsh_pairs,
-        "sim_ivf_topk": _q_ivf_topk,
         # embedding pipeline (chunking + weighted pooling + token join)
         "em_chunk_text": _q_chunk_text,
         "em_weighted_pool": _q_weighted_pool,
@@ -577,6 +666,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB equivalents (events/documents/embeddings views
 # are pre-registered by the driver).
 # ---------------------------------------------------------------------------
+
+# oracle CTE + surface column per rule pack; keys MUST track
+# RULEPACK_REGISTRY — _rulepacks_oracle raises on drift, so a new pack
+# cannot silently skip the differential gate (ADVICE r3 #3).
+_PACK_ORACLE = {
+    "mentions": ("mentions", "surface"),
+    "tool_calls": ("tool_calls", "toolname"),
+    "test_refs": ("testrefs", "tid"),
+    "entity_candidates": ("cands", "name"),
+}
+
+
+def _rulepacks_oracle(q) -> str:
+    from stakgraph_spark.operators.extract import RULEPACK_REGISTRY
+
+    if set(_PACK_ORACLE) != set(RULEPACK_REGISTRY):
+        raise AssertionError(
+            "rule-pack oracle mapping out of sync with RULEPACK_REGISTRY: "
+            f"{sorted(set(_PACK_ORACLE) ^ set(RULEPACK_REGISTRY))}"
+        )
+    return q(
+        " UNION ALL ".join(
+            f"SELECT '{pack}' AS pack, conv_id, turn_idx, {col} AS surface FROM {cte}"
+            for pack, (cte, col) in sorted(_PACK_ORACLE.items())
+        )
+    )
 
 def oracle_sql() -> dict[str, str]:
     from stakgraph_spark.operators.materialize import REPO_KEY
@@ -611,9 +726,10 @@ walk AS (
   WHERE length(w.path) - length(replace(w.path, '/', '')) < 3
 )"""
     qs_oracles = {
-        "qs_find_class_nodes": q("SELECT * FROM nodes WHERE node_type = 'Class'"),
-        "qs_name_contains": q(
-            "SELECT * FROM nodes WHERE node_type = 'Class' AND contains(name, 'Core')"
+        "qs_class_filters": q(
+            "SELECT 'by_type' AS fkind, * FROM nodes WHERE node_type = 'Class'"
+            " UNION ALL SELECT 'contains', * FROM nodes"
+            " WHERE node_type = 'Class' AND contains(name, 'Core')"
         ),
         "qs_handler_join": q(
             "SELECT e.source_key, s.name AS source_name, s.node_type AS source_type,"
@@ -694,13 +810,11 @@ removedk AS (
   SELECT node_key FROM nodes
   WHERE node_type = 'File' AND name NOT IN (SELECT name FROM kept_parents))""",
         ),
-        "qs_find_endpoint": q(
-            "SELECT * FROM nodes WHERE node_type = 'Endpoint'"
+        "qs_point_lookups": q(
+            "SELECT 'endpoint' AS lookup, * FROM nodes WHERE node_type = 'Endpoint'"
             " AND name = 'GET /api/orders/:param' AND file = 'entities'"
             " AND regexp_extract(meta, '(^|;)verb=([^;]*)', 2) = 'GET'"
-        ),
-        "qs_resource_nodes": q(
-            "SELECT * FROM nodes WHERE node_type = 'Endpoint'"
+            " UNION ALL SELECT 'resource', * FROM nodes WHERE node_type = 'Endpoint'"
             " AND contains(lower(name), 'orders')"
             " AND contains(regexp_extract(meta, '(^|;)verb=([^;]*)', 2), 'GET')"
         ),
@@ -759,8 +873,10 @@ removedk AS (
         "dd_minhash_lsh": DT.minhash_lsh_pairs(0.6),
         "dd_simhash_pairs": DT.simhash_pairs(3),
         "sim_cosine_pairs": DT.cosine_pairs(0.3),
-        "sim_ann_topk": DT.ann_topk([0, 1, 2, 3, 4], 5),
-        "sim_ivf_topk": DT.ivf_topk([0, 1, 2, 3, 4], 5),
+        "sim_topk": (
+            f"SELECT 'brute' AS mode, * FROM ({DT.ann_topk([0, 1, 2, 3, 4], 5)})"
+            f" UNION ALL SELECT 'ivf', * FROM ({DT.ivf_topk([0, 1, 2, 3, 4], 5)})"
+        ),
         "sim_lsh_pairs": None,  # rows-only (LSH verify path exercises pandas-free plan)
         "tx_doc_stats": (
             f"WITH a AS ({DT.lang_id()}), b AS ({DT.quality_score()}),"
@@ -802,17 +918,37 @@ WHERE round(list_dot_product(na.vec, nb.vec), 4) >= 0.25"""
         f"SELECT case_id, raw, {P.trim_quotes_sql('raw')} AS trimmed,"
         f" {P.strip_url_sql('raw')} AS url_path FROM ({P.scalar_cases_cte()})"
     )
+    from stakgraph_spark.operators.dialects import dialects_oracle_sql
+
+    h = "md5(n.node_key || ':' || '1700000000')"
+    ref_id = (
+        f"concat_ws('-', substr({h},1,8), substr({h},9,4), substr({h},13,4), "
+        f"substr({h},17,4), substr({h},21,12))"
+    )
+    em_attach_sql = q(
+        "SELECT n.node_key, n.node_type, n.name,"
+        f" {ref_id} AS ref_id,"
+        " CAST(len(string_split_regex(trim(n.body), '\\s+')) AS BIGINT) AS token_count,"
+        " CAST(1700000000 AS BIGINT) AS date_added,"
+        " (v.lbl IS NOT NULL) AS has_embedding,"
+        " CAST(COALESCE(v.emb_dim, 0) AS INT) AS emb_dim"
+        " FROM nodes n LEFT JOIN v ON v.lbl = n.name",
+        extra_ctes=f""",
+pool AS ({DT.weighted_pool()}),
+v AS (SELECT 'turn_' || CAST(label AS STRING) AS lbl, CAST(count(*) AS INT) AS emb_dim
+      FROM pool GROUP BY label)""",
+    )
     return {
         **qs_oracles,
         **data_oracles,
+        "kg_dialects": dialects_oracle_sql(),
+        # the resumable builder must reproduce the single-shot edge
+        # set byte-for-byte — the oracle IS the kg_edges oracle
+        "kg_resume": q("SELECT edge_type, source_key, target_key FROM edges"),
+        "em_attach": em_attach_sql,
         "kg_collect": collect_oracle_sql(),
         "fn_scalars": fn_scalars_sql,
-        "kg_rulepacks": q(
-            "SELECT 'mentions' AS pack, conv_id, turn_idx, surface FROM mentions"
-            " UNION ALL SELECT 'tool_calls', conv_id, turn_idx, toolname FROM tool_calls"
-            " UNION ALL SELECT 'test_refs', conv_id, turn_idx, tid FROM testrefs"
-            " UNION ALL SELECT 'entity_candidates', conv_id, turn_idx, name FROM cands"
-        ),
+        "kg_rulepacks": _rulepacks_oracle(q),
         "kg_transcripts": q("SELECT conv_id, turn_idx, role, text, tool FROM transcripts"),
         "kg_mentions": q("SELECT conv_id, turn_idx, surface FROM mentions"),
         "kg_resolved": q("SELECT conv_id, turn_idx, surface, entity_id, score FROM resolved"),

@@ -294,5 +294,6 @@ WHERE u.conv_id = v.d_conv
    OR (i.ibody IS NOT NULL AND contains(i.ibody, u.vname))
    OR substring(u.conv_id, 1, {BUCKET_LEN}) = v.vbucket
 UNION ALL
-SELECT 'return_type', r.turn_idx, {dm_key}, 'Datamodel'
-FROM reti r JOIN ents e ON e.entity_type = 'Datamodel' AND e.canonical_name = r.name"""
+SELECT 'return_type', turn_idx, dmk, 'Datamodel' FROM (
+  SELECT DISTINCT r.conv_id, r.turn_idx, {dm_key} AS dmk
+  FROM reti r JOIN ents e ON e.entity_type = 'Datamodel' AND e.canonical_name = r.name)"""

@@ -130,6 +130,19 @@ _BUCKET = "substring(conv_id, 1, 9)"
 _NULL_S = "CAST(NULL AS STRING)"
 
 
+def _ep_match(req_norm: str) -> str:
+    """The engine's GENERAL request->endpoint join residual
+    (req_matched, operators/materialize.py:526-561): segment-count
+    equality + segment-wise paths_match of the normalized request
+    path against the endpoint's template path — not exact string
+    equality, so a corpus where a concrete segment aligns with an
+    endpoint :param (or one endpoint matches two norm_paths) keeps
+    engine/oracle parity (round-3 ADVICE #1)."""
+    from ..functions.paths import paths_match_sql
+
+    return paths_match_sql(req_norm, "('/api/' || ep.seg || '/:param')", D)
+
+
 def transcripts_query(
     events_table: str = "events",
     aliases_table: str | None = None,
@@ -443,18 +456,21 @@ edges_raw AS (
   UNION ALL
   SELECT 'CALLS', {_request_key('r.conv_id', 'r.turn_idx', 'r.path', 'r.verb')}, en.node_key
   FROM (SELECT conv_id, turn_idx, verb, path, norm_path FROM requests) r
-  JOIN eps ep ON ep.verb = r.verb AND '/api/' || ep.seg || '/:param' = r.norm_path
+  JOIN eps ep ON ep.verb = r.verb
+    AND {_ep_match("r.norm_path")}
   JOIN ent_nodes en ON en.start = ep.entity_id
   UNION ALL
   SELECT 'CALLS', {_test_key('td.tid', 'td.d_conv', 'td.d_turn')}, {_turn_key('tr.conv_id', 'tr.turn_idx')}
   FROM testrefs tr JOIN first_def td ON td.tid = tr.tid
   UNION ALL
   SELECT 'HANDLER', en.node_key, {_turn_key('fr.conv_id', 'fr.turn_idx')}
-  FROM (SELECT verb, norm_path, conv_id, turn_idx FROM (
-          SELECT r.*, row_number() OVER (PARTITION BY verb, norm_path ORDER BY conv_id, turn_idx) AS rk
-          FROM requests r) WHERE rk = 1) fr
-  JOIN eps ep ON ep.verb = fr.verb AND '/api/' || ep.seg || '/:param' = fr.norm_path
-  JOIN ent_nodes en ON en.start = ep.entity_id
+  FROM (SELECT entity_id, conv_id, turn_idx FROM (
+          SELECT ep.entity_id, r.conv_id, r.turn_idx,
+                 row_number() OVER (PARTITION BY ep.entity_id ORDER BY r.conv_id, r.turn_idx) AS rk
+          FROM requests r
+          JOIN eps ep ON ep.verb = r.verb AND {_ep_match("r.norm_path")}
+        ) WHERE rk = 1) fr
+  JOIN ent_nodes en ON en.start = fr.entity_id
   UNION ALL
   SELECT 'OF', en.node_key, ec.node_key
   FROM ent_nodes en JOIN ent_nodes ec ON ec.start = en.canon_id
