@@ -22,9 +22,9 @@ Env knobs:
   SPARK_GRAFT_SF_DIR     input dir          (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS       main-run cores     (default 32)
   SPARK_GRAFT_SCALING    1/0 scaling leg    (default 1)
-  SPARK_GRAFT_SCALE_EVENTS  synthetic corpus size (default 8_000_000)
+  SPARK_GRAFT_SCALE_EVENTS  synthetic corpus size (default 4_000_000)
   SPARK_GRAFT_SCALE_CORES   "N,4N" pair     (default "2,8")
-  SPARK_GRAFT_SCALE_TRIALS  best-of-K       (default 2)
+  SPARK_GRAFT_SCALE_TRIALS  adjacent pairs, median-judged (default 5)
 """
 
 from __future__ import annotations
@@ -160,8 +160,16 @@ def main() -> None:
     build_graph(spark, warm)["triples"].count()
     warm.unpersist()
 
-    # --- per-query timings (headline queries) ---
+    # --- per-query timings (headline queries), COLD then WARM ---
+    # The first cold query absorbs the one-time materialization of
+    # the persisted build prefix (transcripts/resolved/nodes/edges
+    # caches the ~50-query driver session shares), so cold walls
+    # mostly measure WHERE that materialization lands, not the query.
+    # The warm repeat is the steady-state number a production session
+    # sees — report both (round-3 verdict asked for the split after
+    # kg_edges' cold wall tripled while e2e got 15% faster).
     q_times: dict[str, float] = {}
+    q_times_cold: dict[str, float] = {}
     qs = ENTRY.queries()
     headline = [
         "kg_transcripts", "kg_mentions", "kg_resolved", "kg_nodes",
@@ -171,6 +179,9 @@ def main() -> None:
     for name in headline:
         if name not in qs:
             continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        q_times_cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         q_times[name] = round(time.time() - t0, 3)
@@ -199,6 +210,7 @@ def main() -> None:
         "value": round(e2e_sec, 3),
         "unit": "sec",
         "queries": q_times,
+        "queries_cold": q_times_cold,
         "sf": SF_DIR,
         "turns": n_turns,
         "triples": n_triples,

@@ -56,6 +56,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Reuse-one-partitioning doctrine (pipeline.py): every same-conv
+        # join keys on (conv_id, ...) over inputs already hash-
+        # partitioned by conv_id. By default Spark re-shuffles BOTH
+        # join sides to the FULL key set (requireAllClusterKeysFor
+        # CoPartition=true); allowing subset co-partitioning is exactly
+        # correct for equi-joins (equal full keys => equal subset =>
+        # same partition) and removes every such exchange+sort pair —
+        # measured 1.8 GB of shuffle per 4M-turn build, the largest
+        # bandwidth term in the scaling profile (BENCH.md round 4).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas stage.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
