@@ -44,7 +44,7 @@ def read_jsonl(spark: SparkSession, out_dir: str, name: str = "graph"):
     return nodes, edges
 
 
-def prepare_upload_nodes(nodes: DataFrame, now_epoch: int) -> DataFrame:
+def prepare_upload_nodes(nodes: DataFrame, now_epoch: int, tokenizer: str = "proxy") -> DataFrame:
     """Upload-time property stamping (NodeQueryBuilder.build,
     neo4j_utils.rs:61-90): every node row gains
 
@@ -56,24 +56,38 @@ def prepare_upload_nodes(nodes: DataFrame, now_epoch: int) -> DataFrame:
                             uniqueness, but deterministic, which the
                             engine's parallelism-invariance and
                             resume byte-identity gates require.
-      token_count           whitespace-proxy token count of the body
-                            (calculate_token_count analog; tiktoken
-                            absent in this container — declared stub,
-                            textstats.py).
+      token_count           token count of the body
+                            (calculate_token_count analog,
+                            neo4j_utils.rs:74-75). tokenizer='proxy'
+                            (default): whitespace count, a pure JVM
+                            column expression — the fast path.
+                            tokenizer='bpe': the vendored real BPE
+                            (functions/bpe.py, lossless greedy
+                            byte-pair encode via Arrow-batched pandas
+                            UDF — the same python-boundary shape as
+                            the reference's tiktoken call).
       date_added_to_graph   the upload timestamp (MERGE's $now).
 
-    Pure column expressions; stamp at sink time, not build time, so
-    the build output stays timestamp-free (resumable byte-identity).
+    Pure column expressions (plus the optional BPE UDF); stamp at
+    sink time, not build time, so the build output stays
+    timestamp-free (resumable byte-identity).
     """
     h = f"md5(node_key || ':' || '{int(now_epoch)}')"
     ref_id = (
         f"concat_ws('-', substr({h},1,8), substr({h},9,4), substr({h},13,4), "
         f"substr({h},17,4), substr({h},21,12))"
     )
+    if tokenizer == "bpe":
+        from ..functions.bpe import token_count_bpe_udf
+
+        nodes = nodes.withColumn("token_count", token_count_bpe_udf()(nodes["body"]))
+    else:
+        nodes = nodes.selectExpr(
+            "*", "CAST(size(split(trim(body), '\\\\s+')) AS BIGINT) AS token_count"
+        )
     return nodes.selectExpr(
         "*",
         f"{ref_id} AS ref_id",
-        "CAST(size(split(trim(body), '\\\\s+')) AS BIGINT) AS token_count",
         f"CAST({int(now_epoch)} AS BIGINT) AS date_added_to_graph",
     )
 
