@@ -142,15 +142,18 @@ def token_count_bpe_udf():
     """Arrow-batched pandas UDF: real BPE token count per text value.
     The declared python boundary (same shape as the reference's
     per-body tiktoken call); NULL-safe (NULL -> NULL)."""
-    import pandas as pd
+    import pandas as pd  # noqa: F401 — type-hint resolution needs it in scope
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("bigint")
-    def _count(s: pd.Series) -> pd.Series:
+    def _count(s):
         ranks = _default_ranks()
         return s.map(lambda t: None if t is None else bpe_count(t, ranks))
 
-    return _count
+    # annotate via __annotations__ with REAL classes (a local
+    # `import pandas` inside this factory is invisible to the string-
+    # annotation resolver pandas_udf uses)
+    _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_count, "bigint")
 
 
 def token_count_bpe(documents, text_col: str = "text", id_col: str = "doc_id"):
