@@ -306,6 +306,10 @@ def main() -> None:
             scaling["efficiency"] = med  # the gate number: median of pairs
             scaling["efficiency_best"] = max(p["efficiency"] for p in pairs)
             scaling["pair_efficiencies"] = [p["efficiency"] for p in pairs]
+            # raw leg walls per pair — the scatter diagnosis lives here
+            scaling["pair_legs_sec"] = [
+                [p["lo"]["sec"], p["hi"]["sec"]] for p in pairs
+            ]
             scaling["pair_ceilings"] = [p["ceiling"] for p in pairs]
             scaling["pair_jvm_ceilings"] = [p["jvm_ceiling"] for p in pairs]
             scaling["pair_efficiencies_normalized"] = [p["eff_norm"] for p in pairs]

@@ -152,14 +152,28 @@ def main() -> None:
     # steal but not the package-clock drop dense JVM work causes
     # (measured: python probe ~0.95 where a codegen arith loop gets
     # 0.81 and an allocation-heavy regex loop 0.72 on 2->8 cores).
-    probe_df = spark.range(0, 4_000_000, 1, cores * 4).selectExpr(
-        "sum(size(regexp_extract_all(concat('call foo_', id, '(x) and bar_', "
-        "id % 97, '(y)'), '([a-z]+_[0-9]+)\\\\(', 1))) AS s"
-    )
-    probe_df.collect()  # warm this plan's codegen
+    # Shuffle-free by design: the earlier sum(...) probe re-collected
+    # the SAME DataFrame, and Spark reuses a computed shuffle's map
+    # outputs across jobs on one lineage — the "timed" collect only
+    # ran the 1-task final stage (72ms for 4M regex rows, ~50x too
+    # fast), which wrecked the ceiling normalization. The noop sink
+    # keeps every row's extraction on the executors with no exchange
+    # to reuse, and each call builds a FRESH plan.
+    def _probe(n_rows: int):
+        spark.range(0, n_rows, 1, cores * 4).selectExpr(
+            "size(regexp_extract_all(concat('call foo_', id, '(x) and bar_', "
+            "id % 97, '(y)'), '([a-z]+_[0-9]+)\\\\(', 1)) AS n"
+        ).write.format("noop").mode("overwrite").save()
+
+    _probe(400_000)  # codegen + JIT tier-up on the probe's own plan
     t0 = time.time()
-    probe_df.collect()
-    probe_sec = time.time() - t0
+    _probe(4_000_000)
+    first = time.time() - t0
+    t0 = time.time()
+    _probe(4_000_000)
+    # min of two full-size runs: the first still pays residual JIT
+    # tiering (measured 2.0s vs 1.05s steady-state at 4 cores)
+    probe_sec = min(first, time.time() - t0)
 
     print(
         json.dumps(

@@ -22,6 +22,11 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
   handler_pick    'first' | 'last' referencing turn per endpoint
                   (the handler_finder override: some frameworks
                   register the first matching route, some the last)
+  file_filters    the should_not_include predicate stack
+                  (repo.rs:477-526) as data — allowlist / junk dirs /
+                  binary exts / package-file force-include / own vs
+                  other-language extensions / skip suffixes, rendered
+                  by operators/files.py as one portable boolean
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -56,6 +61,15 @@ DIALECT_PACKS: dict[str, dict] = {
         ],
         "default_test_class": "UnitTest",
         "handler_pick": "first",
+        "file_filters": {
+            "junk_dirs": ["__pycache__", "node_modules", ".venv"],
+            "binary_exts": [".png", ".pyc"],
+            "package_files": ["requirements.txt"],
+            "include_exts": [".py"],
+            "exclude_package_files": ["package.json", "go.mod"],
+            "exclude_exts": [".js", ".go"],
+            "skip_file_ends": [".sh"],
+        },
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -68,6 +82,18 @@ DIALECT_PACKS: dict[str, dict] = {
         ],
         "default_test_class": "UnitTest",
         "handler_pick": "last",
+        "file_filters": {
+            # documents the reference's ordering quirk in the gate:
+            # app.min.js carries the OWN extension .js, so the own-ext
+            # include (step 5) beats the .min.js skip suffix (step 7)
+            "junk_dirs": ["node_modules", "dist"],
+            "binary_exts": [".png"],
+            "package_files": ["package.json"],
+            "include_exts": [".js", ".ts"],
+            "exclude_package_files": ["requirements.txt", "go.mod"],
+            "exclude_exts": [".py", ".go"],
+            "skip_file_ends": [".min.js"],
+        },
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -77,6 +103,53 @@ DIALECT_PACKS: dict[str, dict] = {
         "test_classes": [("^e2e_", "E2etest")],
         "default_test_class": "IntegrationTest",
         "handler_pick": "first",
+        "file_filters": {
+            "junk_dirs": [".next", "node_modules"],
+            "binary_exts": [".png"],
+            "package_files": ["package.json"],
+            "include_exts": [".tsx", ".ts"],
+            "exclude_package_files": ["requirements.txt", "go.mod"],
+            # .js claimed by ANOTHER pack here, so app.min.js is
+            # excluded — the same planted file flips per dialect
+            "exclude_exts": [".py", ".go", ".js"],
+            "skip_file_ends": [".stories.tsx"],
+        },
+    },
+    # Go/chi-ish: {param} templates only; table-driven *_test naming;
+    # tool extraction DEDUPED per turn (the distinct flag is pack
+    # data — expressish keeps every occurrence, goish one per turn).
+    "goish": {
+        "rules": [("tool", TOOL_RE, True)],
+        "request_styles": ["brace"],
+        "test_classes": [("_test$", "UnitTest"), ("^e2e_", "E2etest")],
+        "default_test_class": "IntegrationTest",
+        "handler_pick": "first",
+        "file_filters": {
+            "junk_dirs": ["vendor"],
+            "binary_exts": [".png"],
+            "package_files": ["go.mod"],
+            "include_exts": [".go"],
+            "exclude_package_files": ["package.json", "requirements.txt"],
+            "exclude_exts": [".py", ".js"],
+            "skip_file_ends": ["_gen.go"],
+        },
+    },
+    # Rails-ish: :param only; rspec naming; mention extraction NOT
+    # deduped (flaskish dedups — same rule, different consumer
+    # semantics); file stack is an only_include allowlist — the
+    # reference's step-1 short-circuit (repo.rs:481-483) where
+    # nothing else in the stack is consulted.
+    "railsish": {
+        "rules": [("mention", MENTION_RE, False)],
+        "request_styles": ["colon"],
+        "test_classes": [("spec", "UnitTest"), ("^e2e_", "E2etest")],
+        "default_test_class": "IntegrationTest",
+        "handler_pick": "last",
+        "file_filters": {
+            "only_include_files": ["src/app.py", "docs/README.md"],
+            # ignored by the short-circuit — present to prove it
+            "junk_dirs": ["src", "docs"],
+        },
     },
 }
 
@@ -95,6 +168,23 @@ DIALECT_CASES: list[tuple[int, str, str, str]] = [
     (3, "/api/(v2)/users", "order_spec", "@AuthCore and @AuthCore"),
     (4, "/api/docs/[...slug]", "helpers", "tool:calc(1) tool:calc(2)"),
     (5, "/api/u/[uid]/posts/", "e2e_spec", "ref test_7 ref test_9"),
+]
+
+# Planted file paths: one set every pack's should_not_include stack
+# answers differently (own-ext vs other-ext flips, junk dirs, package
+# manifests, the own-ext-beats-skip-suffix ordering quirk, and the
+# railsish allowlist short-circuit).
+FILE_CASES: list[tuple[int, str]] = [
+    (0, "src/app.py"),
+    (1, "node_modules/leftpad/index.js"),
+    (2, "assets/logo.png"),
+    (3, "web/app.min.js"),
+    (4, "requirements.txt"),
+    (5, "package.json"),
+    (6, "cmd/server/main.go"),
+    (7, "scripts/helper.sh"),
+    (8, "src/__pycache__/app.cpython.pyc"),
+    (9, "docs/README.md"),
 ]
 
 # (ep, conv_id, turn_idx): several referencing turns per endpoint so
@@ -124,6 +214,12 @@ def handler_cases_cte() -> str:
     return _union_all(
         HANDLER_CASES, ["ep", "conv_id", "turn_idx"], ["STRING", "STRING", "INT"]
     )
+
+
+def file_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(FILE_CASES, ["case_id", "fpath"], ["INT", "STRING"])
 
 
 # ---------------------------------------------------------------------------
@@ -178,21 +274,33 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     The extraction arm is NOT here: the engine runs it through the
     Arrow rule-pack executor (the real production path) while the
     oracle uses SQL regexp — see kg_dialects."""
+    from .files import should_include_sql
+
     norm = normalize_request_sql(pack, "raw_path", dialect)
     cls = classify_test_sql(pack, "test_name", dialect)
     pick = handler_pick_sql(pack, dialect)
-    return (
+    body = (
         f"SELECT '{pack_name}' AS pack, 'norm' AS kind, CAST(case_id AS STRING) AS id,"
         f" {norm} AS value FROM dc"
         f" UNION ALL SELECT '{pack_name}', 'test', CAST(case_id AS STRING), {cls} FROM dc"
         f" UNION ALL SELECT '{pack_name}', 'handler', ep,"
         f" conv_id || '#' || CAST(turn_idx AS STRING) FROM ({pick})"
     )
+    if pack.get("file_filters"):
+        # should_include_sql renders LIKE/IN/= only — already
+        # dialect-portable, ONE rendering serves engine and oracle
+        inc = should_include_sql("fpath", pack["file_filters"])
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'file', fpath,"
+            f" CAST({inc} AS STRING) FROM fc"
+        )
+    return body
 
 
 def dialect_surface_sql(pack_name: str, pack: dict, dialect: str) -> str:
     return (
-        f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}) "
+        f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}),"
+        f" fc AS ({file_cases_cte()}) "
         + dialect_surface_body(pack_name, pack, dialect)
     )
 
@@ -207,7 +315,8 @@ def dialects_oracle_sql(packs: dict[str, dict] | None = None) -> str:
         arms.append(dialect_surface_body(name, packs[name], "duckdb"))
         arms.append(dialect_extract_oracle_sql(name, packs[name]))
     return (
-        f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}) "
+        f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}),"
+        f" fc AS ({file_cases_cte()}) "
         + " UNION ALL ".join(arms)
     )
 

@@ -76,3 +76,67 @@ def test_new_pack_needs_no_code(spark):
     assert by_kind["test"]["1"] == "IntegrationTest"     # 'billing' rule
     assert by_kind["test"]["0"] == "E2etest"             # the new default
     assert by_kind["handler"]["GET /api/a"] == "conv_y#1"
+
+
+def test_file_filter_stack_differs_per_pack(spark):
+    """The should_not_include stack (operators/files.py) as pack
+    data: the same planted paths flip per dialect, the reference's
+    step ordering included (repo.rs:477-526)."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def files(name):
+        return {r[2]: r[3] for r in out[name] if r[1] == "file"}
+
+    fl, ex, nx, rs = files("flaskish"), files("expressish"), files("nextish"), files("railsish")
+    # own-ext vs other-ext flip on the same file
+    assert fl["src/app.py"] == "true" and ex["src/app.py"] == "false"
+    # ordering quirk preserved: own extension (step 5) beats the
+    # .min.js skip suffix (step 7) for expressish; nextish claims .js
+    # as another language's ext and excludes it
+    assert ex["web/app.min.js"] == "true" and nx["web/app.min.js"] == "false"
+    # package manifests force-include only for the owning dialect
+    assert fl["requirements.txt"] == "true" and ex["requirements.txt"] == "false"
+    assert ex["package.json"] == "true" and fl["package.json"] == "false"
+    # junk dirs
+    assert fl["node_modules/leftpad/index.js"] == "false"
+    assert fl["src/__pycache__/app.cpython.pyc"] == "false"
+    # skip_file_ends reaches only unclaimed extensions
+    assert fl["scripts/helper.sh"] == "false" and ex["scripts/helper.sh"] == "true"
+    # allowlist short-circuit: junk_dirs ['src','docs'] present but
+    # never consulted (repo.rs:481-483)
+    assert rs == {
+        p: ("true" if p in ("src/app.py", "docs/README.md") else "false")
+        for p in rs
+    }
+
+
+def test_filter_files_predicates_reach_the_scan(spark, tmp_path):
+    """filter_files renders sargable string predicates: the parquet
+    scan's PushedFilters carries the EndsWith/Contains arms instead
+    of evaluating the stack post-scan."""
+    from stakgraph_spark.operators.files import filter_files
+
+    p = str(tmp_path / "files.parquet")
+    spark.createDataFrame(
+        [(f, i) for i, (_c, f) in enumerate(D.FILE_CASES)], "file string, sz int"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    # single-arm stacks stay AND-only => fully pushable
+    kept = filter_files(df, {"binary_exts": [".png"], "junk_dirs": ["node_modules"]})
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "EndsWith" in pushed or "StringEndsWith" in pushed
+    got = {r.file for r in kept.collect()}
+    assert "assets/logo.png" not in got and "node_modules/leftpad/index.js" not in got
+    assert "src/app.py" in got
+
+
+def test_filter_files_escapes_like_wildcards(spark):
+    from stakgraph_spark.operators.files import filter_files
+
+    df = spark.createDataFrame([("a_gen.go",), ("xgen.go",)], "file string")
+    got = {r.file for r in filter_files(df, {"skip_file_ends": ["_gen.go"]}).collect()}
+    assert got == {"xgen.go"}  # bare _ would have matched both
