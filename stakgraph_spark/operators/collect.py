@@ -79,7 +79,10 @@ def typed_entity_candidates(transcripts: DataFrame, entities: DataFrame) -> Data
 def extract_var_defs(transcripts: DataFrame) -> DataFrame:
     """-> (conv_id, turn_idx, vname): var declaration occurrences
     (the tool parameter binding), name q_<tool>."""
-    return transcripts.select(
+    # zero-alloc contains() guard on the regex's literal prefix
+    # (operators/extract.py doc): skips the per-row String copy +
+    # Matcher for every turn without a tool invocation
+    return transcripts.where(F.col("text").contains("tool:")).select(
         "conv_id",
         "turn_idx",
         F.explode(F.regexp_extract_all("text", F.lit(VARDECL_RE), 1)).alias("tool"),

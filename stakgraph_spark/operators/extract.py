@@ -40,7 +40,15 @@ def extract_mentions_raw(transcripts: DataFrame) -> DataFrame:
     stage's best-candidate group-by absorbs duplicates), so the
     pipeline avoids a dedicated distinct shuffle of the widest
     intermediate."""
-    return transcripts.select(
+    # contains() guard before the regex pass: Spark's regexp_* first
+    # copies the UTF8String into a java String and allocates a
+    # Matcher PER ROW, even when nothing matches; contains() runs on
+    # the raw bytes with zero allocation. Rows without the regex's
+    # mandatory literal produce no exploded rows either way, so the
+    # guard is semantics-free — it only skips the allocation-heavy
+    # path for the (at production scale, vast) majority of turns
+    # that mention nothing.
+    return transcripts.where(F.col("text").contains("@")).select(
         "conv_id",
         "turn_idx",
         F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), 1)).alias("surface"),
@@ -57,7 +65,9 @@ def extract_tool_calls(transcripts: DataFrame) -> DataFrame:
     regexp_extract_all + explode — ALL calls per turn are emitted
     (the reference's get_function_calls collects every call site per
     file, lang/mod.rs:446-616), not just the first match."""
-    return transcripts.select(
+    # zero-alloc contains() guard on the regex's literal prefix
+    # (see extract_mentions_raw) — ~80% of turns skip the regex
+    return transcripts.where(F.col("text").contains("tool:")).select(
         "conv_id",
         "turn_idx",
         F.explode(F.regexp_extract_all("text", F.lit(TOOL_RE), 1)).alias("toolname"),
@@ -83,7 +93,8 @@ def extract_requests(transcripts: DataFrame) -> DataFrame:
     norm = normalize_backend_path_sql(
         f"regexp_replace(path, '{NUMSEG_RE}', '/:param')", "spark"
     )
-    return transcripts.selectExpr(
+    # every "VERB /path" match contains ' /' — zero-alloc guard
+    return transcripts.where(F.col("text").contains(" /")).selectExpr(
         "conv_id",
         "turn_idx",
         f"explode(regexp_extract_all(text, '{REQUEST_RE}', 0)) AS m",
@@ -98,7 +109,7 @@ def extract_requests(transcripts: DataFrame) -> DataFrame:
 def extract_test_refs(transcripts: DataFrame) -> DataFrame:
     """-> (conv_id, turn_idx, tid): `ref test_<k>` references
     (extract_test_ids analog, linker.rs:115-127); all refs per turn."""
-    return transcripts.select(
+    return transcripts.where(F.col("text").contains("ref test_")).select(
         "conv_id",
         "turn_idx",
         F.explode(F.regexp_extract_all("text", F.lit(TESTREF_RE), 1)).alias("tid"),
@@ -108,7 +119,7 @@ def extract_test_refs(transcripts: DataFrame) -> DataFrame:
 def extract_test_defs(transcripts: DataFrame) -> DataFrame:
     """-> (conv_id, turn_idx, tid, text): `defines test_<k>`
     definitions; text kept for the Test node body."""
-    return transcripts.select(
+    return transcripts.where(F.col("text").contains("defines test_")).select(
         "conv_id",
         "turn_idx",
         F.explode(F.regexp_extract_all("text", F.lit(TESTDEF_RE), 1)).alias("tid"),
