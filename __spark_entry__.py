@@ -332,10 +332,11 @@ def _q_ann_lsh_pairs(spark, sf_dir):
 def _q_dialects(spark, sf_dir):
     """Dialect packs (the Stack-trait hook surface as DATA): every
     shipped pack's request-normalize / classify_test / handler_pick /
-    should_not_include-file-stack hooks plus its extraction rules
-    (through the Arrow rule-pack executor) over the planted dims,
-    pack-tagged — ONE pack definition drives both this query and its
-    DuckDB oracle."""
+    should_not_include-file-stack / lib-manifest (get_libs) /
+    import-resolve hooks plus its extraction rules (through the
+    Arrow rule-pack executor) over the planted dims, pack-tagged —
+    ONE pack definition drives both this query and its DuckDB
+    oracle."""
     from stakgraph_spark.operators.dialects import DIALECT_PACKS, run_dialect_pack
 
     out = None

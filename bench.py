@@ -174,8 +174,9 @@ def _duel_scaling(corpus: str, lo: int, hi: int) -> dict:
     duels = []
     t0 = time.time()
     for i in range(SCALE_TRIALS):
-        # time guard: always run >=1 duel; stop launching past 25 min
-        if i >= 1 and time.time() - t0 > 1500:
+        # time guard: always run >=1 duel; stop launching past 30 min
+        # (a duel is ~700-750s incl. per-leg setup, so 3 fit)
+        if i >= 1 and time.time() - t0 > 1800:
             break
         rec = duel_mod.duel_pair(lo, hi, corpus, SCALE_WINDOW)
         if rec and rec["samples"]:
@@ -191,8 +192,9 @@ def _duel_scaling(corpus: str, lo: int, hi: int) -> dict:
             f"BOTH configs (sequential pairs gave the 1-core leg a single-core-"
             f"turbo clock and put the legs in windows minutes apart on a host "
             f"whose CPU availability swings ~2x on that scale). Fresh JVM per "
-            f"leg (ParallelGC, fixed at-rest bucketing, per-leg shuffle "
-            f"partitions); JIT warmup + each leg's first full-size build "
+            f"leg (ParallelGC; at-rest bucketing AND shuffle partitions fixed "
+            f"at 32 for both legs — submitter configs that do not vary with "
+            f"cluster size); JIT warmup + each leg's first full-size build "
             f"excluded; the hi leg keeps building until the lo leg finishes, so "
             f"every scored lo build is fully covered by same-moment hi builds; "
             f"one efficiency sample per scored lo build = lo_wall / "

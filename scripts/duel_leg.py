@@ -52,10 +52,17 @@ def main() -> None:
     if gc == "parallel":
         extra["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC -XX:+AlwaysPreTouch"
     buckets = int(os.environ.get("SPARK_GRAFT_SCALE_BUCKETS", "32"))
+    # Shuffle partitions default to the at-rest bucket count for BOTH
+    # legs (a submitter config that does not vary with cluster size;
+    # same-granularity tasks at lo and hi). At hi, 32 partitions on 4
+    # cores = 8 waves of smooth packing; per-leg 2x-cores granularity
+    # (8 tasks = 2 waves at hi) quantizes the last wave into idle
+    # cores the 1-core leg never pays. Override per-leg via env.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", str(buckets)))
     spark = get_spark(
         app_name=f"duel[{role}:{cores}]",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores * 2, 8),
+        shuffle_partitions=shuffle,
         extra_conf=extra,
     )
 

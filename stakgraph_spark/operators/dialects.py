@@ -27,6 +27,27 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   binary exts / package-file force-include / own vs
                   other-language extensions / skip suffixes, rendered
                   by operators/files.py as one portable boolean
+  lib_manifest    the lib_query hook (mod.rs:58-60 default None;
+                  get_libs, lang/mod.rs:176-183): which manifest FILE
+                  the dialect reads (is_lib_file, mod.rs:61-63) and a
+                  (name, version) line regex — requirements.txt vs
+                  package.json vs go.mod vs Gemfile formats. A pack
+                  without the key extracts NO libraries (the trait's
+                  None default -> Vec::new())
+  import_resolve  resolve_import_path / resolve_import_name as an
+                  ordered op LIST from a fixed vocabulary (trait
+                  defaults are identity, mod.rs:287-293; react.rs:
+                  700-716 trims + strips './'·'/' prefixes + quotes;
+                  java.rs:228-245 maps dotted names to paths and
+                  takes the last dot segment as the name)
+  clean_edges     the clean_graph hook (mod.rs:280 default no-op;
+                  go.rs:301-303 prunes Class-OPERAND->Function) as a
+                  declarative (src_type, edge_type, tgt_type) prune
+                  list applied to the finished edge set
+  assoc_name      convert_association_to_name (mod.rs:284-286
+                  default identity; ruby.rs:554-557 singularize +
+                  PascalCase): ordered suffix singularization rules
+                  as data + an optional pascal step
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -70,6 +91,13 @@ DIALECT_PACKS: dict[str, dict] = {
             "exclude_exts": [".js", ".go"],
             "skip_file_ends": [".sh"],
         },
+        "lib_manifest": {
+            "file": "requirements.txt",
+            "line_re": "^([A-Za-z0-9_.-]+)==([0-9][0-9A-Za-z.-]*)$",
+        },
+        # python.rs overrides neither resolve hook -> trait defaults
+        # (identity, mod.rs:287-293); present to prove defaults flow
+        "import_resolve": {"path_ops": [], "name_op": "identity"},
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -94,6 +122,16 @@ DIALECT_PACKS: dict[str, dict] = {
             "exclude_exts": [".py", ".go"],
             "skip_file_ends": [".min.js"],
         },
+        "lib_manifest": {
+            "file": "package.json",
+            "line_re": '^"([A-Za-z0-9@/_.-]+)": "[~^]?([0-9][0-9A-Za-z.-]*)",?$',
+        },
+        # react.rs:700-716: trim, strip './' and '/' prefixes, strip
+        # surrounding quotes; name untouched
+        "import_resolve": {
+            "path_ops": ["trim", "strip_rel_prefix", "strip_quotes"],
+            "name_op": "identity",
+        },
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -114,6 +152,17 @@ DIALECT_PACKS: dict[str, dict] = {
             "exclude_exts": [".py", ".go", ".js"],
             "skip_file_ends": [".stories.tsx"],
         },
+        # same manifest FILE as expressish, different line rule (only
+        # tilde-pinned deps) — the same planted row set answers
+        # differently per pack
+        "lib_manifest": {
+            "file": "package.json",
+            "line_re": '^"([A-Za-z0-9@/_.-]+)": "~([0-9][0-9A-Za-z.-]*)",?$',
+        },
+        "import_resolve": {"path_ops": ["strip_rel_prefix"], "name_op": "identity"},
+        # a second clean_graph override with a DIFFERENT prune list,
+        # so the hook is provably per-pack data
+        "clean_edges": [("Page", "RENDERS", "Function")],
     },
     # Go/chi-ish: {param} templates only; table-driven *_test naming;
     # tool extraction DEDUPED per turn (the distinct flag is pack
@@ -133,6 +182,19 @@ DIALECT_PACKS: dict[str, dict] = {
             "exclude_exts": [".py", ".js"],
             "skip_file_ends": ["_gen.go"],
         },
+        "lib_manifest": {
+            "file": "go.mod",
+            "line_re": "^require ([a-z0-9./_-]+) v([0-9][0-9A-Za-z.+-]*)$",
+        },
+        # quote-stripping path resolve; dotted-name tail as the
+        # import name (the java.rs:228-235 / kotlin.rs:256-263 hook)
+        "import_resolve": {
+            "path_ops": ["strip_quotes"],
+            "name_op": "last_dot_segment",
+        },
+        # go.rs:301-303: the one clean_graph override in the
+        # reference — prune Class-OPERAND->Function
+        "clean_edges": [("Class", "OPERAND", "Function")],
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -149,6 +211,20 @@ DIALECT_PACKS: dict[str, dict] = {
             "only_include_files": ["src/app.py", "docs/README.md"],
             # ignored by the short-circuit — present to prove it
             "junk_dirs": ["src", "docs"],
+        },
+        "lib_manifest": {
+            "file": "Gemfile",
+            "line_re": "^gem '([a-z0-9_-]+)', '([0-9][0-9.]*)'$",
+        },
+        # NO import_resolve key: the surface emits nothing for the
+        # hook (distinct from flaskish's explicit identity ops —
+        # mirrors a language whose imports_query is None)
+        # ruby.rs:554-557 convert_association_to_name: singularize
+        # (ordered suffix rules as data; 'us' passes through before
+        # the bare-'s' strip) then PascalCase
+        "assoc_name": {
+            "singular_rules": [("ies", "y"), ("us", "us"), ("s", "")],
+            "pascal": True,
         },
     },
 }
@@ -197,6 +273,57 @@ HANDLER_CASES: list[tuple[str, str, int]] = [
     ("POST /api/b", "conv_z", 9),
 ]
 
+# Planted manifest lines, (lno, fpath, line): four manifest formats
+# mixed with non-dependency lines. Each pack's lib_manifest hook
+# reads ONLY its own file and matches only its own line shape — two
+# packs (expressish, nextish) share package.json with different line
+# rules, so even the same file yields different libraries per pack.
+MANIFEST_CASES: list[tuple[int, str, str]] = [
+    (0, "requirements.txt", "flask==2.3.0"),
+    (1, "requirements.txt", "# pinned for CVE-2023-30861"),
+    (2, "requirements.txt", "pydantic==1.10.12"),
+    (3, "package.json", '"express": "^4.18.2",'),
+    (4, "package.json", '"next": "~13.4.0",'),
+    (5, "package.json", '"name": "myapp",'),
+    (6, "go.mod", "require github.com/go-chi/chi v5.0.8"),
+    (7, "go.mod", "module example.com/server"),
+    (8, "Gemfile", "gem 'rails', '7.0.4'"),
+    (9, "Gemfile", "source 'https://rubygems.org'"),
+]
+
+# Planted raw import specs, (case_id, raw_import): relative prefixes,
+# absolute prefixes, quoting, dotted module names, plain names — each
+# pack's op list rewrites a different subset.
+IMPORT_CASES: list[tuple[int, str]] = [
+    (0, " ./components/App "),
+    (1, "/abs/widgets"),
+    (2, "java.util.List"),
+    (3, "'quoted/mod'"),
+    (4, "plain_mod"),
+    (5, "a.b.c.D"),
+]
+
+# Planted finished-graph edges, (eid, src_type, edge_type, tgt_type):
+# each pack's clean_edges list prunes a different family; the arm
+# emits SURVIVORS (the engine's clean pass output).
+CLEAN_CASES: list[tuple[int, str, str, str]] = [
+    (0, "Class", "OPERAND", "Function"),
+    (1, "Class", "INHERITS", "Class"),
+    (2, "Function", "CALLS", "Function"),
+    (3, "Class", "CONTAINS", "Datamodel"),
+    (4, "Page", "RENDERS", "Function"),
+]
+
+# Planted association names for convert_association_to_name:
+# underscored plurals, -ies plurals, an -us noun naive 's'-stripping
+# would mangle (railsish carries a pass-through rule for it).
+ASSOC_CASES: list[tuple[int, str]] = [
+    (0, "customer_orders"),
+    (1, "companies"),
+    (2, "status"),
+    (3, "line_item"),
+]
+
 
 def dialect_cases_cte() -> str:
     from ..sources.entities import _union_all
@@ -220,6 +347,36 @@ def file_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(FILE_CASES, ["case_id", "fpath"], ["INT", "STRING"])
+
+
+def manifest_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        MANIFEST_CASES, ["lno", "fpath", "line"], ["INT", "STRING", "STRING"]
+    )
+
+
+def import_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(IMPORT_CASES, ["case_id", "raw_import"], ["INT", "STRING"])
+
+
+def clean_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        CLEAN_CASES,
+        ["eid", "src_type", "edge_type", "tgt_type"],
+        ["INT", "STRING", "STRING", "STRING"],
+    )
+
+
+def assoc_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(ASSOC_CASES, ["aid", "assoc"], ["INT", "STRING"])
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +423,135 @@ def handler_pick_sql(pack: dict, dialect: str) -> str:
     )
 
 
+def _sq(s: str) -> str:
+    """SQL single-quoted literal (quote-doubling only — callers keep
+    regexes backslash-free so one literal parses identically under
+    Spark's escape-processing string rules and DuckDB's raw ones)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def lib_extract_sql(pack: dict, dialect: str) -> str:
+    """get_libs as data (lib_query hook, queries/mod.rs:58-60,
+    executed by lang/mod.rs:176-183; is_lib_file mod.rs:61-63 picks
+    the manifest): a full SELECT over the `mc(lno, fpath, line)` CTE
+    emitting (lno, lib) for lines of the pack's manifest file that
+    match its (name, version) rule. Groups 1/2 of line_re are the
+    library name and version."""
+    m = pack["lib_manifest"]
+    rx = "regexp_like" if dialect == "spark" else "regexp_matches"
+    re_lit = _sq(m["line_re"])
+    return (
+        f"SELECT lno, regexp_extract(line, {re_lit}, 1) || '@' ||"
+        f" regexp_extract(line, {re_lit}, 2) AS lib"
+        f" FROM mc WHERE fpath = {_sq(m['file'])} AND {rx}(line, {re_lit})"
+    )
+
+
+# resolve_import_path op vocabulary -> SQL renderer. Each op maps an
+# expression to an expression; ops compose in pack order. All
+# renderings use only trim/substr/length/replace/CASE/LIKE plus one
+# anchored single-match regexp_replace — identical text parses and
+# evaluates the same in Spark SQL and DuckDB.
+def _op_trim(x: str) -> str:
+    return f"trim({x})"
+
+
+def _op_strip_rel_prefix(x: str) -> str:
+    # react.rs:702-708 ('./' and '/' arms; the '.\\' arm is omitted —
+    # windows-style separators never reach the planted corpus)
+    return (
+        f"CASE WHEN {x} LIKE './%' THEN substr({x}, 3)"
+        f" WHEN {x} LIKE '/%' THEN substr({x}, 2) ELSE {x} END"
+    )
+
+
+def _op_strip_quotes(x: str) -> str:
+    # react.rs:710-716: strip one matching surrounding quote pair
+    return (
+        f"CASE WHEN length({x}) >= 2 AND substr({x}, 1, 1) IN ('''', '\"')"
+        f" AND substr({x}, length({x}), 1) = substr({x}, 1, 1)"
+        f" THEN substr({x}, 2, length({x}) - 2) ELSE {x} END"
+    )
+
+
+def _op_dots_to_path_drop_last(x: str) -> str:
+    # java.rs:237-245: dotted names become paths, last segment dropped
+    return (
+        f"CASE WHEN {x} LIKE '%.%'"
+        f" THEN replace(regexp_replace({x}, '[.][^.]*$', ''), '.', '/')"
+        f" ELSE {x} END"
+    )
+
+
+_PATH_OPS = {
+    "trim": _op_trim,
+    "strip_rel_prefix": _op_strip_rel_prefix,
+    "strip_quotes": _op_strip_quotes,
+    "dots_to_path_drop_last": _op_dots_to_path_drop_last,
+}
+
+_NAME_OPS = {
+    # trait default (mod.rs:290-292)
+    "identity": lambda x: x,
+    # java.rs:228-235 / kotlin.rs:256-263: the tail dot segment
+    "last_dot_segment": lambda x: f"regexp_extract({x}, '[^.]*$', 0)",
+}
+
+
+def clean_edges_sql(pack: dict) -> str:
+    """clean_graph as data (mod.rs:280 hook; go.rs:301-303 the one
+    reference override): a NOT-IN prune of declared
+    (src_type, edge_type, tgt_type) families over the `ce` CTE,
+    emitting survivors. Pure =/AND/OR — dialect-portable."""
+    drops = " OR ".join(
+        f"(src_type = {_sq(s)} AND edge_type = {_sq(e)} AND tgt_type = {_sq(t)})"
+        for s, e, t in pack["clean_edges"]
+    )
+    return (
+        "SELECT eid, src_type || '-' || edge_type || '-' || tgt_type AS edge"
+        f" FROM ce WHERE NOT ({drops})"
+    )
+
+
+def assoc_name_sql(pack: dict, expr: str, dialect: str) -> str:
+    """convert_association_to_name as data (mod.rs:284-286 identity
+    default; ruby.rs:554-557 singularize + PascalCase). Ordered
+    suffix rules render as a first-match CASE (LIKE/substr only);
+    the pascal step upper-cases each '_' segment head — the one
+    interpreter needing a per-dialect lambda spelling (Spark
+    transform/array_join vs DuckDB list_transform/list_aggregate)."""
+    spec = pack["assoc_name"]
+    arms = []
+    for suf, rep in spec["singular_rules"]:
+        keep = f"substr({expr}, 1, length({expr}) - {len(suf)})"
+        val = expr if rep == suf else f"{keep} || {_sq(rep)}" if rep else keep
+        arms.append(f"WHEN {expr} LIKE {_sq('%' + suf)} THEN {val}")
+    sing = f"CASE {' '.join(arms)} ELSE {expr} END"
+    if not spec.get("pascal"):
+        return sing
+    if dialect == "spark":
+        return (
+            f"array_join(transform(split({sing}, '_'),"
+            f" s -> upper(substr(s, 1, 1)) || substr(s, 2)), '')"
+        )
+    return (
+        f"list_aggregate(list_transform(string_split({sing}, '_'),"
+        f" s -> upper(substr(s, 1, 1)) || substr(s, 2)), 'string_agg', '')"
+    )
+
+
+def resolve_import_sql(pack: dict, expr: str) -> tuple[str, str]:
+    """(resolved_path, resolved_name) SQL for the pack's
+    import_resolve hook — resolve_import_path as the pack's ordered
+    op chain, resolve_import_name as its name op. Dialect-portable
+    by construction (see the op renderers)."""
+    spec = pack["import_resolve"]
+    path = expr
+    for op in spec["path_ops"]:
+        path = _PATH_OPS[op](path)
+    return path, _NAME_OPS[spec["name_op"]](expr)
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -294,15 +580,47 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'file', fpath,"
             f" CAST({inc} AS STRING) FROM fc"
         )
+    if pack.get("lib_manifest"):
+        # absent key = the trait's lib_query None default (no
+        # Library extraction), mod.rs:58-60
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'lib', CAST(lno AS STRING), lib"
+            f" FROM ({lib_extract_sql(pack, dialect)})"
+        )
+    if pack.get("import_resolve"):
+        rp, rn = resolve_import_sql(pack, "raw_import")
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'import',"
+            f" CAST(case_id AS STRING), {rp} FROM ic"
+            f" UNION ALL SELECT '{pack_name}', 'impname',"
+            f" CAST(case_id AS STRING), {rn} FROM ic"
+        )
+    if pack.get("clean_edges"):
+        # absent key = the trait's no-op default (mod.rs:280)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'clean', CAST(eid AS STRING),"
+            f" edge FROM ({clean_edges_sql(pack)})"
+        )
+    if pack.get("assoc_name"):
+        an = assoc_name_sql(pack, "assoc", dialect)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'assoc',"
+            f" CAST(aid AS STRING), {an} FROM ac"
+        )
     return body
 
 
-def dialect_surface_sql(pack_name: str, pack: dict, dialect: str) -> str:
+def _dims_with() -> str:
     return (
         f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}),"
-        f" fc AS ({file_cases_cte()}) "
-        + dialect_surface_body(pack_name, pack, dialect)
+        f" fc AS ({file_cases_cte()}), mc AS ({manifest_cases_cte()}),"
+        f" ic AS ({import_cases_cte()}), ce AS ({clean_cases_cte()}),"
+        f" ac AS ({assoc_cases_cte()}) "
     )
+
+
+def dialect_surface_sql(pack_name: str, pack: dict, dialect: str) -> str:
+    return _dims_with() + dialect_surface_body(pack_name, pack, dialect)
 
 
 def dialects_oracle_sql(packs: dict[str, dict] | None = None) -> str:
@@ -314,11 +632,7 @@ def dialects_oracle_sql(packs: dict[str, dict] | None = None) -> str:
     for name in sorted(packs):
         arms.append(dialect_surface_body(name, packs[name], "duckdb"))
         arms.append(dialect_extract_oracle_sql(name, packs[name]))
-    return (
-        f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}),"
-        f" fc AS ({file_cases_cte()}) "
-        + " UNION ALL ".join(arms)
-    )
+    return _dims_with() + " UNION ALL ".join(arms)
 
 
 def run_dialect_pack(spark, pack_name: str, pack: dict) -> DataFrame:

@@ -53,6 +53,110 @@ def test_packs_genuinely_differ_on_the_same_input(spark):
     assert ("4", "calc") in arm("expressish", "extract")
 
 
+def test_lib_manifest_differs_per_pack(spark):
+    """get_libs as pack data (lib_query / is_lib_file hooks): each
+    pack reads only its own manifest file; two packs sharing
+    package.json with different line rules extract different
+    libraries from the same planted rows."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def libs(name):
+        return {r[3] for r in out[name] if r[1] == "lib"}
+
+    assert libs("flaskish") == {"flask@2.3.0", "pydantic@1.10.12"}
+    # same file, different line rule: caret/plain pins only for
+    # expressish, tilde pins for both
+    assert libs("expressish") == {"express@4.18.2", "next@13.4.0"}
+    assert libs("nextish") == {"next@13.4.0"}
+    assert libs("goish") == {"github.com/go-chi/chi@5.0.8"}
+    assert libs("railsish") == {"rails@7.0.4"}
+
+
+def test_import_resolve_differs_per_pack(spark):
+    """resolve_import_path / resolve_import_name as an op list: the
+    same planted raw imports resolve differently per pack; a pack
+    without the hook emits nothing (imports_query None analog); the
+    flaskish empty op list is the trait's identity default."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    fl, ex, nx, go = (
+        kind("flaskish", "import"),
+        kind("expressish", "import"),
+        kind("nextish", "import"),
+        kind("goish", "import"),
+    )
+    assert kind("railsish", "import") == {}  # no hook -> no rows
+    assert fl["0"] == " ./components/App "   # identity default
+    assert ex["0"] == "components/App"       # trim + strip './'
+    assert nx["0"] == " ./components/App "   # strip_rel needs exact prefix
+    assert nx["1"] == "abs/widgets"          # '/' arm
+    assert ex["3"] == "quoted/mod" and go["3"] == "quoted/mod"
+    assert fl["3"] == "'quoted/mod'"
+    # name op: dotted tail for goish, identity for expressish
+    assert kind("goish", "impname")["2"] == "List"
+    assert kind("goish", "impname")["5"] == "D"
+    assert kind("goish", "impname")["4"] == "plain_mod"
+    assert kind("expressish", "impname")["2"] == "java.util.List"
+
+
+def test_clean_edges_and_assoc_name_per_pack(spark):
+    """clean_graph (go.rs:301-303) and convert_association_to_name
+    (ruby.rs:554-557) as pack data: different prune lists survive
+    different planted edges; singular+pascal rules apply only where
+    the pack carries the hook."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    assert "0" not in kind("goish", "clean")          # OPERAND pruned
+    assert "4" in kind("goish", "clean")              # RENDERS kept
+    assert "0" in kind("nextish", "clean")            # OPERAND kept
+    assert "4" not in kind("nextish", "clean")        # RENDERS pruned
+    assert kind("flaskish", "clean") == {}            # no hook -> no arm
+    assert kind("railsish", "assoc") == {
+        "0": "CustomerOrder",   # 's' strip + pascal
+        "1": "Company",         # 'ies' -> 'y'
+        "2": "Status",          # 'us' pass-through rule beats 's' strip
+        "3": "LineItem",        # already singular
+    }
+    assert kind("goish", "assoc") == {}               # trait default
+
+
+def test_dots_to_path_op(spark):
+    """The java.rs:237-245 dotted-name rewrite as an op — exercised
+    via a throwaway pack since no shipped pack uses it."""
+    pack = {
+        "rules": [],
+        "request_styles": [],
+        "test_classes": [],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        "import_resolve": {
+            "path_ops": ["dots_to_path_drop_last"],
+            "name_op": "last_dot_segment",
+        },
+    }
+    rp, rn = D.resolve_import_sql(pack, "raw_import")
+    rows = duckdb.sql(
+        f"WITH ic AS ({D.import_cases_cte()})"
+        f" SELECT case_id, {rp} AS p, {rn} AS n FROM ic"
+    ).fetchall()
+    got = {c: (p, n) for c, p, n in rows}
+    assert got[2] == ("java/util", "List")
+    assert got[5] == ("a/b/c", "D")
+    assert got[4] == ("plain_mod", "plain_mod")
+
+
 def test_new_pack_needs_no_code(spark):
     """A brand-new 'language' is a dict literal: the same fixed
     interpreters evaluate it engine-side and oracle-side with no
