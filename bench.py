@@ -26,7 +26,7 @@ Env knobs:
   SPARK_GRAFT_SCALE_EVENTS  synthetic corpus size (default 2_000_000)
   SPARK_GRAFT_SCALE_CORES   "N,4N" pair     (default "1,4")
   SPARK_GRAFT_SCALE_TRIALS  duels (or sequential pairs)  (default 3)
-  SPARK_GRAFT_SCALE_WINDOW  duel window seconds (default 330)
+  SPARK_GRAFT_SCALE_WINDOW  duel window seconds (default 480)
 """
 
 from __future__ import annotations
@@ -69,7 +69,12 @@ SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 # all-cores-busy in BOTH configs. scripts/duel.py implements it;
 # "pairs" keeps the round-3 sequential adjacent-pair protocol.
 SCALE_PROTO = os.environ.get("SPARK_GRAFT_SCALE_PROTO", "duel")
-SCALE_WINDOW = float(os.environ.get("SPARK_GRAFT_SCALE_WINDOW", "330"))
+# 480s window: a ~150s lo build means 3-4 lo builds per window, so
+# each duel yields 2-3 SCORED samples (first dropped) instead of 1 —
+# the ~240s per-duel setup (JVM spinup, 150k-turn warmup, corpus
+# read+persist) amortizes over 3x the samples, and the later builds
+# are pure steady state on both legs.
+SCALE_WINDOW = float(os.environ.get("SPARK_GRAFT_SCALE_WINDOW", "480"))
 
 
 def _burn(barrier, q, cpus, iters):
@@ -174,9 +179,11 @@ def _duel_scaling(corpus: str, lo: int, hi: int) -> dict:
     duels = []
     t0 = time.time()
     for i in range(SCALE_TRIALS):
-        # time guard: always run >=1 duel; stop launching past 30 min
-        # (a duel is ~700-750s incl. per-leg setup, so 3 fit)
-        if i >= 1 and time.time() - t0 > 1800:
+        # time guard: always run >=1 duel; stop launching once a
+        # ~900s duel (480s window + ~250s setup + warm hi coverage)
+        # would overrun a ~40 min scaling budget — at 2-3 samples
+        # per duel, 2 windows already yield 4-6 scored samples
+        if i >= 1 and time.time() - t0 > 1500:
             break
         rec = duel_mod.duel_pair(lo, hi, corpus, SCALE_WINDOW)
         if rec and rec["samples"]:

@@ -66,8 +66,12 @@ def main() -> None:
         extra_conf=extra,
     )
 
-    # JIT/codegen warmup on the identical plan shape (untimed).
-    warm = derive_transcripts(spark, synthetic_events(spark, 8_000, 20)).persist()
+    # JIT/codegen warmup on the identical plan shape (untimed, both
+    # legs symmetrically). 150k turns, not a token 8k: C2 tier-up is
+    # invocation-count driven, and an 8k warmup left the hi leg's
+    # 2nd-3rd full-size builds ~60% over steady state (77.7s vs 48s,
+    # BENCH.md window 1) — tier-up cost leaking into SCORED builds.
+    warm = derive_transcripts(spark, synthetic_events(spark, 150_000, 400)).persist()
     warm.count()
     build_graph(spark, warm, repartition_by_conv=False)["triples"].count()
     warm.unpersist()
