@@ -48,6 +48,21 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   default identity; ruby.rs:554-557 singularize +
                   PascalCase): ordered suffix singularization rules
                   as data + an optional pascal step
+  component       is_component (mod.rs:65-70 default false;
+                  react.rs:170-175 first-char-uppercase): the
+                  function-name → component predicate as a named
+                  style from a fixed vocabulary
+  endpoint_verb   add_endpoint_verb (mod.rs:184 no-op default;
+                  rust.rs:301-330 call-text contains tiers,
+                  typescript.rs:186-200 exact call match,
+                  python.rs:220-257 handler-name prefix/eq tiers +
+                  GET fallback): ordered (source, pattern, verb)
+                  rules — different packs consult different COLUMNS
+                  of the same planted registration rows
+  test_file       is_test_file (mod.rs:180 default false; go.rs:285
+                  '_test.go', ruby.rs:253 '_spec.rb', react.rs:852
+                  '__tests__' segment + suffix family): contains /
+                  suffix lists as data
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -98,6 +113,22 @@ DIALECT_PACKS: dict[str, dict] = {
         # python.rs overrides neither resolve hook -> trait defaults
         # (identity, mod.rs:287-293); present to prove defaults flow
         "import_resolve": {"path_ops": [], "name_op": "identity"},
+        # python.rs:240-251: verbs inferred from the HANDLER name
+        # (prefix tiers + the 'index' special case), GET fallback —
+        # this pack never consults the call column
+        "endpoint_verb": {
+            "rules": [
+                ("handler_prefix", "get_", "GET"),
+                ("handler_eq", "index", "GET"),
+                ("handler_prefix", "post_", "POST"),
+                ("handler_prefix", "create_", "POST"),
+                ("handler_prefix", "delete_", "DELETE"),
+                ("handler_prefix", "remove_", "DELETE"),
+                ("handler_prefix", "put_", "PUT"),
+                ("handler_prefix", "update_", "PUT"),
+            ],
+            "default": "GET",
+        },
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -132,6 +163,26 @@ DIALECT_PACKS: dict[str, dict] = {
             "path_ops": ["trim", "strip_rel_prefix", "strip_quotes"],
             "name_op": "identity",
         },
+        # react.rs:170-175: a capitalized function is a component
+        "component": {"style": "upper_initial"},
+        # rust.rs:308-321 style: verbs from the CALL text ('.get(' …
+        # contains tiers); no handler fallback — unmatched rows get
+        # the empty verb (typescript.rs:193-199 leaves meta unset)
+        "endpoint_verb": {
+            "rules": [
+                ("call_contains", ".get(", "GET"),
+                ("call_contains", ".post(", "POST"),
+                ("call_contains", ".put(", "PUT"),
+                ("call_contains", ".delete(", "DELETE"),
+            ],
+            "default": "",
+        },
+        # react.rs:852-866 (subset): the __tests__ segment plus the
+        # .test.ts / .spec.ts suffix family
+        "test_file": {
+            "contains": ["__tests__"],
+            "suffixes": [".test.ts", ".spec.ts"],
+        },
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -163,6 +214,10 @@ DIALECT_PACKS: dict[str, dict] = {
         # a second clean_graph override with a DIFFERENT prune list,
         # so the hook is provably per-pack data
         "clean_edges": [("Page", "RENDERS", "Function")],
+        "component": {"style": "upper_initial"},
+        # a DIFFERENT suffix family than expressish (no __tests__
+        # segment, .tsx tests) — the same planted file flips per pack
+        "test_file": {"suffixes": [".test.tsx", ".spec.ts"]},
     },
     # Go/chi-ish: {param} templates only; table-driven *_test naming;
     # tool extraction DEDUPED per turn (the distinct flag is pack
@@ -195,6 +250,10 @@ DIALECT_PACKS: dict[str, dict] = {
         # go.rs:301-303: the one clean_graph override in the
         # reference — prune Class-OPERAND->Function
         "clean_edges": [("Class", "OPERAND", "Function")],
+        # go.rs:285-287; NO component / endpoint_verb keys — go.rs
+        # overrides neither (trait defaults: false / no-op), so the
+        # surface emits nothing for those hooks
+        "test_file": {"suffixes": ["_test.go"]},
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -226,6 +285,8 @@ DIALECT_PACKS: dict[str, dict] = {
             "singular_rules": [("ies", "y"), ("us", "us"), ("s", "")],
             "pascal": True,
         },
+        # ruby.rs:253-255
+        "test_file": {"suffixes": ["_spec.rb"]},
     },
 }
 
@@ -314,6 +375,42 @@ CLEAN_CASES: list[tuple[int, str, str, str]] = [
     (4, "Page", "RENDERS", "Function"),
 ]
 
+# Planted function names for is_component: capitalized component
+# names, a hook, snake_case, an underscore-initial helper.
+FUNC_CASES: list[tuple[int, str]] = [
+    (0, "App"),
+    (1, "useItems"),
+    (2, "render_page"),
+    (3, "NavBar"),
+    (4, "_private"),
+]
+
+# Planted endpoint registrations, (vid, call, handler): rust-style
+# packs read the CALL text, python-style packs read the HANDLER name
+# — the same rows answer differently because different packs consult
+# different columns.
+VERB_CASES: list[tuple[int, str, str]] = [
+    (0, 'r.get("/items", h)', "listItems"),
+    (1, 'app.route("/items")', "get_items"),
+    (2, 'router.post("/x", handle)', "makeX"),
+    (3, "", "create_order"),
+    (4, 'r.delete("/y")', "remove_y"),
+    (5, 'app.route("/z")', "index"),
+    (6, 'c.put("/w")', "update_w"),
+]
+
+# Planted filenames for is_test_file: each pack's contains/suffix
+# lists claim a different subset.
+TESTFILE_CASES: list[tuple[int, str]] = [
+    (0, "pkg/auth_test.go"),
+    (1, "spec/models/user_spec.rb"),
+    (2, "src/__tests__/util.ts"),
+    (3, "src/app.test.tsx"),
+    (4, "src/main.go"),
+    (5, "cart.spec.ts"),
+    (6, "lib/user.rb"),
+]
+
 # Planted association names for convert_association_to_name:
 # underscored plurals, -ies plurals, an -us noun naive 's'-stripping
 # would mangle (railsish carries a pass-through rule for it).
@@ -377,6 +474,26 @@ def assoc_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(ASSOC_CASES, ["aid", "assoc"], ["INT", "STRING"])
+
+
+def func_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(FUNC_CASES, ["fid", "fname"], ["INT", "STRING"])
+
+
+def verb_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        VERB_CASES, ["vid", "call", "handler"], ["INT", "STRING", "STRING"]
+    )
+
+
+def testfile_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(TESTFILE_CASES, ["tfid", "tfname"], ["INT", "STRING"])
 
 
 # ---------------------------------------------------------------------------
@@ -552,6 +669,56 @@ def resolve_import_sql(pack: dict, expr: str) -> tuple[str, str]:
     return path, _NAME_OPS[spec["name_op"]](expr)
 
 
+# is_component styles — a fixed vocabulary like _PATH_OPS. The one
+# reference override (react.rs:170-175) tests the first char for
+# uppercase; the planted corpus is ASCII so the A-Z range IS that
+# check, rendered identically in Spark and DuckDB.
+_COMPONENT_STYLES = {
+    "upper_initial": lambda x: f"substr({x}, 1, 1) BETWEEN 'A' AND 'Z'",
+}
+
+
+def is_component_sql(pack: dict, expr: str) -> str:
+    """is_component as data (mod.rs:65-70 default false;
+    react.rs:170-175): the pack names a predicate style."""
+    return f"CAST({_COMPONENT_STYLES[pack['component']['style']](expr)} AS STRING)"
+
+
+def endpoint_verb_sql(pack: dict, call_expr: str, handler_expr: str) -> str:
+    """add_endpoint_verb as data (mod.rs:184 no-op default): ordered
+    (source, pattern, verb) rules rendered as a first-match CASE.
+    Sources: call_contains (rust.rs:308-321 '.get(' tiers over the
+    call text), handler_prefix / handler_eq (python.rs:240-251 tiers
+    over the lowercased handler name — prefix via substr, not LIKE,
+    so '_' in patterns never wildcards). 'default' is the fallthrough
+    verb ('' = leave unset, typescript.rs:193-199)."""
+    conds = {
+        "call_contains": lambda p: f"position({_sq(p)} IN {call_expr}) > 0",
+        "handler_prefix": lambda p: (
+            f"substr(lower({handler_expr}), 1, {len(p)}) = {_sq(p)}"
+        ),
+        "handler_eq": lambda p: f"lower({handler_expr}) = {_sq(p)}",
+    }
+    spec = pack["endpoint_verb"]
+    arms = " ".join(
+        f"WHEN {conds[src](pat)} THEN {_sq(verb)}" for src, pat, verb in spec["rules"]
+    )
+    return f"CASE {arms} ELSE {_sq(spec['default'])} END"
+
+
+def test_file_sql(pack: dict, expr: str) -> str:
+    """is_test_file as data (mod.rs:180 default false; go.rs:285,
+    ruby.rs:253, react.rs:852-866): contains-segment and suffix lists
+    rendered with the escaped-LIKE helper files.py uses (a '_' in
+    '_test.go' must not wildcard)."""
+    from .files import _any, _wild
+
+    spec = pack["test_file"]
+    arms = [_wild(expr, "%", c, "%") for c in spec.get("contains", [])]
+    arms += [_wild(expr, "%", s, "") for s in spec.get("suffixes", [])]
+    return f"CAST({_any(arms)} AS STRING)"
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -607,6 +774,24 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'assoc',"
             f" CAST(aid AS STRING), {an} FROM ac"
         )
+    if pack.get("component"):
+        # absent key = the trait's constant-false default (mod.rs:66)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'component',"
+            f" CAST(fid AS STRING), {is_component_sql(pack, 'fname')} FROM nc"
+        )
+    if pack.get("endpoint_verb"):
+        # absent key = the trait's no-op default (mod.rs:184)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'verb', CAST(vid AS STRING),"
+            f" {endpoint_verb_sql(pack, 'call', 'handler')} FROM vc"
+        )
+    if pack.get("test_file"):
+        # absent key = the trait's constant-false default (mod.rs:181)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'testfile', tfname,"
+            f" {test_file_sql(pack, 'tfname')} FROM tf"
+        )
     return body
 
 
@@ -615,7 +800,8 @@ def _dims_with() -> str:
         f"WITH dc AS ({dialect_cases_cte()}), hc AS ({handler_cases_cte()}),"
         f" fc AS ({file_cases_cte()}), mc AS ({manifest_cases_cte()}),"
         f" ic AS ({import_cases_cte()}), ce AS ({clean_cases_cte()}),"
-        f" ac AS ({assoc_cases_cte()}) "
+        f" ac AS ({assoc_cases_cte()}), nc AS ({func_cases_cte()}),"
+        f" vc AS ({verb_cases_cte()}), tf AS ({testfile_cases_cte()}) "
     )
 
 

@@ -216,6 +216,45 @@ def test_file_filter_stack_differs_per_pack(spark):
     }
 
 
+def test_component_verb_testfile_hooks_per_pack(spark):
+    """Round-4 widening: is_component (react.rs:170-175),
+    add_endpoint_verb (rust.rs:301-330 / python.rs:220-257), and
+    is_test_file (go.rs:285 / ruby.rs:253 / react.rs:852-866) as
+    pack data. Packs consult different COLUMNS of the same planted
+    verb rows; absent keys emit nothing (the trait defaults)."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # component: only the react-ish packs carry the hook
+    assert kind("flaskish", "component") == {}
+    assert kind("goish", "component") == {}
+    ex = kind("expressish", "component")
+    assert ex["0"] == "true" and ex["3"] == "true"      # App, NavBar
+    assert ex["1"] == "false" and ex["2"] == "false"    # useItems, render_page
+    assert ex["4"] == "false"                           # _private
+    # verb: expressish reads the call text, flaskish the handler name
+    exv, flv = kind("expressish", "verb"), kind("flaskish", "verb")
+    assert exv["2"] == "POST" and flv["2"] == "GET"     # router.post vs makeX
+    assert exv["3"] == "" and flv["3"] == "POST"        # no call vs create_order
+    assert exv["5"] == "" and flv["5"] == "GET"         # app.route vs index
+    assert exv["4"] == "DELETE" and flv["4"] == "DELETE"
+    assert kind("goish", "verb") == {}                  # trait no-op default
+    # test_file: suffix families differ; '_' never wildcards
+    assert kind("goish", "testfile")["pkg/auth_test.go"] == "true"
+    assert kind("goish", "testfile")["src/main.go"] == "false"
+    assert kind("railsish", "testfile")["spec/models/user_spec.rb"] == "true"
+    # the same planted file flips between the two react-ish packs
+    assert kind("expressish", "testfile")["src/__tests__/util.ts"] == "true"
+    assert kind("nextish", "testfile")["src/__tests__/util.ts"] == "false"
+    assert kind("expressish", "testfile")["src/app.test.tsx"] == "false"
+    assert kind("nextish", "testfile")["src/app.test.tsx"] == "true"
+    assert kind("flaskish", "testfile") == {}
+
+
 def test_filter_files_predicates_reach_the_scan(spark, tmp_path):
     """filter_files renders sargable string predicates: the parquet
     scan's PushedFilters carries the EndsWith/Contains arms instead
