@@ -63,6 +63,19 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   '_test.go', ruby.rs:253 '_spec.rb', react.rs:852
                   '__tests__' segment + suffix family): contains /
                   suffix lists as data
+  dm_path_filter  data_model_path_filter (mod.rs:116 default None;
+                  ruby.rs:218 'db/schema.rb', kotlin.rs:235
+                  'app/models', swift.rs:174 'CoreData'): the
+                  substring a Datamodel's file must carry
+  data_model_name data_model_name (mod.rs:129 default identity;
+                  ruby.rs:187 pluralize + lowercase): ordered
+                  pluralization suffix rules + a lowercase step
+  e2e_test_id     e2e_test_id_finder_string (mod.rs:202 default
+                  None; ruby.rs:256 'get_by_test_id'): the finder
+                  call whose quoted argument is the test id
+  router_file     is_router_file (mod.rs:239 default false;
+                  react.rs:599-604 NOT-contains '__tests__'):
+                  not-contains segment list
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -183,6 +196,11 @@ DIALECT_PACKS: dict[str, dict] = {
             "contains": ["__tests__"],
             "suffixes": [".test.ts", ".spec.ts"],
         },
+        # testing-library naming; ruby.rs:256 ships get_by_test_id —
+        # the two packs' finders must not substring-shadow each other
+        "e2e_test_id": "getByTestId",
+        # react.rs:599-604: everything outside __tests__ can route
+        "router_file": {"not_contains": ["__tests__"]},
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -218,6 +236,12 @@ DIALECT_PACKS: dict[str, dict] = {
         # a DIFFERENT suffix family than expressish (no __tests__
         # segment, .tsx tests) — the same planted file flips per pack
         "test_file": {"suffixes": [".test.tsx", ".spec.ts"]},
+        # kotlin.rs:235-style directory filter — a DIFFERENT substring
+        # than railsish, so the same planted Datamodel rows survive
+        # differently per pack
+        "dm_path_filter": "models/",
+        # stricter than expressish: test files can't route either
+        "router_file": {"not_contains": ["__tests__", ".test."]},
     },
     # Go/chi-ish: {param} templates only; table-driven *_test naming;
     # tool extraction DEDUPED per turn (the distinct flag is pack
@@ -287,6 +311,17 @@ DIALECT_PACKS: dict[str, dict] = {
         },
         # ruby.rs:253-255
         "test_file": {"suffixes": ["_spec.rb"]},
+        # ruby.rs:218-220
+        "dm_path_filter": "db/schema.rb",
+        # ruby.rs:187-189 inflection::pluralize + to_lowercase, the
+        # pluralization table as ordered first-match suffix rules
+        # ('' = the catch-all append)
+        "data_model_name": {
+            "plural_rules": [("y", "ies"), ("us", "uses"), ("", "s")],
+            "lower": True,
+        },
+        # ruby.rs:256-258
+        "e2e_test_id": "get_by_test_id",
     },
 }
 
@@ -411,6 +446,27 @@ TESTFILE_CASES: list[tuple[int, str]] = [
     (6, "lib/user.rb"),
 ]
 
+# Planted Datamodel candidates, (did, dm_file, dm_name): paths hit
+# different packs' dm_path_filter substrings; names exercise each
+# pluralization rule of data_model_name.
+DM_CASES: list[tuple[int, str, str]] = [
+    (0, "db/schema.rb", "Customer"),
+    (1, "app/models/user.rb", "Company"),
+    (2, "models/order.ts", "Status"),
+    (3, "src/lib/util.ts", "LineItem"),
+]
+
+# Planted e2e call sites for e2e_test_id_finder_string: snake_case
+# and camelCase finders over both quote styles, plus a non-finder
+# call no pack may match.
+E2E_CASES: list[tuple[int, str]] = [
+    (0, 'await page.get_by_test_id("cart").click()'),
+    (1, "getByTestId('nav')"),
+    (2, 'get_by_test_id("checkout-btn")'),
+    (3, 'click(getByTestId("submit"))'),
+    (4, "plain.click()"),
+]
+
 # Planted association names for convert_association_to_name:
 # underscored plurals, -ies plurals, an -us noun naive 's'-stripping
 # would mangle (railsish carries a pass-through rule for it).
@@ -494,6 +550,20 @@ def testfile_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(TESTFILE_CASES, ["tfid", "tfname"], ["INT", "STRING"])
+
+
+def dm_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        DM_CASES, ["did", "dm_file", "dm_name"], ["INT", "STRING", "STRING"]
+    )
+
+
+def e2e_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(E2E_CASES, ["eeid", "calltext"], ["INT", "STRING"])
 
 
 # ---------------------------------------------------------------------------
@@ -719,6 +789,55 @@ def test_file_sql(pack: dict, expr: str) -> str:
     return f"CAST({_any(arms)} AS STRING)"
 
 
+def _wild_contains(expr: str, value: str) -> str:
+    from .files import _wild
+
+    return _wild(expr, "%", value, "%")
+
+
+def data_model_name_sql(pack: dict, expr: str) -> str:
+    """data_model_name as data (mod.rs:129 identity default;
+    ruby.rs:187-189 pluralize + lowercase): ordered first-match
+    suffix rules; the '' rule is the catch-all append. LIKE/substr
+    only — dialect-portable."""
+    spec = pack["data_model_name"]
+    arms, catch = [], None
+    for suf, rep in spec["plural_rules"]:
+        if not suf:
+            catch = rep
+            continue
+        keep = f"substr({expr}, 1, length({expr}) - {len(suf)})"
+        arms.append(f"WHEN {expr} LIKE {_sq('%' + suf)} THEN {keep} || {_sq(rep)}")
+    tail = f"{expr} || {_sq(catch)}" if catch is not None else expr
+    out = f"CASE {' '.join(arms)} ELSE {tail} END"
+    return f"lower({out})" if spec.get("lower") else out
+
+
+def e2e_test_id_sql(pack: dict, expr: str, dialect: str) -> tuple[str, str]:
+    """e2e_test_id_finder_string as data (mod.rs:202 default None;
+    ruby.rs:256-258): (match-predicate, extract-expression) pulling
+    the finder call's quoted argument. The pattern is built from
+    character classes only — no backslashes — so ONE literal parses
+    identically under Spark's escape-processing string rules and
+    DuckDB's raw ones."""
+    rx = "regexp_like" if dialect == "spark" else "regexp_matches"
+    pat = _sq(pack["e2e_test_id"] + "[(][\"']([^\"']+)[\"'][)]")
+    return f"{rx}({expr}, {pat})", f"regexp_extract({expr}, {pat}, 1)"
+
+
+def router_file_sql(pack: dict, expr: str) -> str:
+    """is_router_file as data (mod.rs:239 default false;
+    react.rs:599-604: a file routes unless it carries a test
+    segment): NOT-contains list via the escaped-LIKE helper."""
+    from .files import _wild
+
+    spec = pack["router_file"]
+    arms = " AND ".join(
+        f"NOT {_wild(expr, '%', c, '%')}" for c in spec["not_contains"]
+    )
+    return f"CAST({arms} AS STRING)"
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -792,6 +911,32 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'testfile', tfname,"
             f" {test_file_sql(pack, 'tfname')} FROM tf"
         )
+    if pack.get("dm_path_filter"):
+        # absent key = the trait's None default (mod.rs:116-118: no
+        # path constraint — here rendered as the arm emitting nothing
+        # rather than everything, to keep absent-key = no-rows
+        # uniform across hooks); the arm emits SURVIVORS
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'dmfile', CAST(did AS STRING),"
+            f" dm_file FROM dmc WHERE {_wild_contains('dm_file', pack['dm_path_filter'])}"
+        )
+    if pack.get("data_model_name"):
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'dmname', CAST(did AS STRING),"
+            f" {data_model_name_sql(pack, 'dm_name')} FROM dmc"
+        )
+    if pack.get("e2e_test_id"):
+        # absent key = the trait's None default (mod.rs:202-204)
+        where, ext = e2e_test_id_sql(pack, "calltext", dialect)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'e2eid', CAST(eeid AS STRING),"
+            f" {ext} FROM ec2 WHERE {where}"
+        )
+    if pack.get("router_file"):
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'router', tfname,"
+            f" {router_file_sql(pack, 'tfname')} FROM tf"
+        )
     return body
 
 
@@ -801,7 +946,8 @@ def _dims_with() -> str:
         f" fc AS ({file_cases_cte()}), mc AS ({manifest_cases_cte()}),"
         f" ic AS ({import_cases_cte()}), ce AS ({clean_cases_cte()}),"
         f" ac AS ({assoc_cases_cte()}), nc AS ({func_cases_cte()}),"
-        f" vc AS ({verb_cases_cte()}), tf AS ({testfile_cases_cte()}) "
+        f" vc AS ({verb_cases_cte()}), tf AS ({testfile_cases_cte()}),"
+        f" dmc AS ({dm_cases_cte()}), ec2 AS ({e2e_cases_cte()}) "
     )
 
 

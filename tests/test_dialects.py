@@ -255,6 +255,44 @@ def test_component_verb_testfile_hooks_per_pack(spark):
     assert kind("flaskish", "testfile") == {}
 
 
+def test_dm_e2eid_router_hooks_per_pack(spark):
+    """Round-4 widening, batch 2: data_model_path_filter
+    (ruby.rs:218 / kotlin.rs:235), data_model_name (ruby.rs:187-189
+    pluralize+lowercase), e2e_test_id_finder_string (ruby.rs:256),
+    is_router_file (react.rs:599-604) as pack data."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # dm_path_filter: different substrings keep different survivors
+    assert kind("railsish", "dmfile") == {"0": "db/schema.rb"}
+    assert kind("nextish", "dmfile") == {
+        "1": "app/models/user.rb",
+        "2": "models/order.ts",
+    }
+    assert kind("flaskish", "dmfile") == {}          # trait None default
+    # data_model_name: each pluralization rule fires once
+    assert kind("railsish", "dmname") == {
+        "0": "customers",   # catch-all +s
+        "1": "companies",   # y -> ies
+        "2": "statuses",    # us -> uses
+        "3": "lineitems",   # +s, lowercased
+    }
+    assert kind("goish", "dmname") == {}             # identity default
+    # e2e_test_id: snake vs camel finders claim disjoint call sites
+    assert kind("railsish", "e2eid") == {"0": "cart", "2": "checkout-btn"}
+    assert kind("expressish", "e2eid") == {"1": "nav", "3": "submit"}
+    assert kind("goish", "e2eid") == {}
+    # router_file: nextish's extra '.test.' exclusion flips one file
+    assert kind("expressish", "router")["src/app.test.tsx"] == "true"
+    assert kind("nextish", "router")["src/app.test.tsx"] == "false"
+    assert kind("expressish", "router")["src/__tests__/util.ts"] == "false"
+    assert kind("railsish", "router") == {}
+
+
 def test_filter_files_predicates_reach_the_scan(spark, tmp_path):
     """filter_files renders sargable string predicates: the parquet
     scan's PushedFilters carries the EndsWith/Contains arms instead
