@@ -93,7 +93,7 @@ from ..functions.paths import normalize_backend_path_sql
 from .extract import MENTION_RE, TESTREF_RE, TOOL_RE
 
 # ---------------------------------------------------------------------------
-# The shipped dialect packs (three "languages" with genuinely
+# The shipped dialect packs (six "languages" with genuinely
 # different behavior on the same planted input — see DIALECT_CASES).
 # ---------------------------------------------------------------------------
 
@@ -323,6 +323,36 @@ DIALECT_PACKS: dict[str, dict] = {
         # ruby.rs:256-258
         "e2e_test_id": "get_by_test_id",
     },
+    # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
+    # the java.rs dotted-import rewrites (the one pack shipping the
+    # dots_to_path_drop_last op); gradle-style manifest lines.
+    "javaish": {
+        "rules": [("testref", TESTREF_RE, True)],
+        "request_styles": ["brace"],
+        "test_classes": [("Test$", "UnitTest"), ("IT$", "IntegrationTest")],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        "file_filters": {
+            "junk_dirs": ["target", "build"],
+            "binary_exts": [".class", ".png", ".pyc"],
+            "package_files": ["build.gradle"],
+            "include_exts": [".java"],
+            "exclude_package_files": ["package.json", "go.mod", "requirements.txt"],
+            "exclude_exts": [".py", ".js", ".go"],
+            "skip_file_ends": ["Generated.java"],
+        },
+        "lib_manifest": {
+            "file": "build.gradle",
+            "line_re": '^implementation "([A-Za-z0-9.:_-]+):([0-9][0-9A-Za-z.-]*)"$',
+        },
+        # java.rs:228-245: dotted names become paths (last segment
+        # dropped); the import NAME is the tail dot segment
+        "import_resolve": {
+            "path_ops": ["dots_to_path_drop_last"],
+            "name_op": "last_dot_segment",
+        },
+        "test_file": {"suffixes": ["Test.java", "IT.java"]},
+    },
 }
 
 # ---------------------------------------------------------------------------
@@ -340,6 +370,7 @@ DIALECT_CASES: list[tuple[int, str, str, str]] = [
     (3, "/api/(v2)/users", "order_spec", "@AuthCore and @AuthCore"),
     (4, "/api/docs/[...slug]", "helpers", "tool:calc(1) tool:calc(2)"),
     (5, "/api/u/[uid]/posts/", "e2e_spec", "ref test_7 ref test_9"),
+    (6, "/api/v1/ping", "CartIT", "plain text"),
 ]
 
 # Planted file paths: one set every pack's should_not_include stack
@@ -385,6 +416,8 @@ MANIFEST_CASES: list[tuple[int, str, str]] = [
     (7, "go.mod", "module example.com/server"),
     (8, "Gemfile", "gem 'rails', '7.0.4'"),
     (9, "Gemfile", "source 'https://rubygems.org'"),
+    (10, "build.gradle", 'implementation "org.slf4j:slf4j-api:2.0.9"'),
+    (11, "build.gradle", 'testImplementation "junit:junit:4.13.2"'),
 ]
 
 # Planted raw import specs, (case_id, raw_import): relative prefixes,
@@ -444,6 +477,8 @@ TESTFILE_CASES: list[tuple[int, str]] = [
     (4, "src/main.go"),
     (5, "cart.spec.ts"),
     (6, "lib/user.rb"),
+    (7, "src/OrderTest.java"),
+    (8, "src/Main.java"),
 ]
 
 # Planted Datamodel candidates, (did, dm_file, dm_name): paths hit

@@ -255,6 +255,27 @@ def test_component_verb_testfile_hooks_per_pack(spark):
     assert kind("flaskish", "testfile") == {}
 
 
+def test_javaish_pack(spark):
+    """The 6th shipped pack: the java.rs:228-245 dotted-import
+    rewrites in the SHIPPED registry (not just a throwaway test
+    pack), gradle-style manifest lines, FooTest/FooIT class naming."""
+    out = _spark_rows(spark, "javaish", D.DIALECT_PACKS["javaish"])
+
+    def kind(k):
+        return {r[2]: r[3] for r in out if r[1] == k}
+
+    assert kind("import")["2"] == "java/util"       # dots -> path, tail dropped
+    assert kind("import")["5"] == "a/b/c"
+    assert kind("impname")["2"] == "List"           # tail dot segment
+    assert kind("lib") == {"10": "org.slf4j:slf4j-api@2.0.9"}  # ^implementation only
+    assert kind("test")["6"] == "IntegrationTest"   # CartIT hits IT$
+    assert kind("test")["0"] == "UnitTest"          # default
+    assert kind("testfile")["src/OrderTest.java"] == "true"
+    assert kind("testfile")["src/Main.java"] == "false"
+    assert kind("norm")["2"] == "/api/items/:param"  # only {id} rewritten
+    assert kind("norm")["0"] == "/api/items/<id>"
+
+
 def test_dm_e2eid_router_hooks_per_pack(spark):
     """Round-4 widening, batch 2: data_model_path_filter
     (ruby.rs:218 / kotlin.rs:235), data_model_name (ruby.rs:187-189
