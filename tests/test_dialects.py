@@ -314,6 +314,80 @@ def test_dm_e2eid_router_hooks_per_pack(spark):
     assert kind("railsish", "router") == {}
 
 
+def test_pack_hooks_drive_the_real_corpus(spark, duck):
+    """Dialect hooks over the REAL sf0.001 corpus, not planted dims:
+    a pack whose classify_test rules differ from the build's tid%3
+    and whose handler_pick direction is 'last' classifies the
+    corpus's test definitions and picks request handlers
+    engine-side, equal to the DuckDB oracle rendering of the SAME
+    pack definition over the oracle's own transcripts derivation
+    (sql/templates.py testdefs / requests CTEs)."""
+    from stakgraph_spark.operators.extract import extract_requests, extract_test_defs
+    from stakgraph_spark.sources.transcripts import read_transcripts
+    from stakgraph_spark.sql import templates as T
+    from tests.conftest import SF_SMALL
+
+    pack = {
+        "rules": [],
+        "request_styles": ["colon"],
+        "test_classes": [("[02468]$", "UnitTest"), ("[13]$", "IntegrationTest")],
+        "default_test_class": "E2etest",
+        "handler_pick": "last",
+    }
+    tr = read_transcripts(spark, SF_SMALL)
+    name = "'test_' || tid"
+    # classify_test over every real test-definition occurrence
+    cls = (
+        extract_test_defs(tr)
+        .selectExpr(f"{D.classify_test_sql(pack, name, 'spark')} AS node_type")
+        .groupBy("node_type")
+        .count()
+    )
+    got_cls = {r["node_type"]: r["count"] for r in cls.collect()}
+    want_cls = dict(
+        duck.execute(
+            T.q(
+                f"SELECT {D.classify_test_sql(pack, name, 'duckdb')} AS node_type,"
+                " count(*) AS n FROM testdefs GROUP BY 1"
+            )
+        ).fetchall()
+    )
+    assert got_cls == want_cls and set(got_cls) == {
+        "UnitTest", "IntegrationTest", "E2etest",
+    }
+    # handler_pick over every real request occurrence — the 'last'
+    # direction must pick different rows than the build's 'first'
+    extract_requests(tr).selectExpr(
+        "verb || ' ' || norm_path AS ep", "conv_id", "turn_idx"
+    ).createOrReplaceTempView("hc")
+    got_h = {
+        (r.ep, r.conv_id, r.turn_idx)
+        for r in spark.sql(D.handler_pick_sql(pack, "spark")).collect()
+    }
+    want_h = set(
+        duck.execute(
+            T.q(
+                "SELECT * FROM ("
+                + D.handler_pick_sql(pack, "duckdb").replace(
+                    "FROM hc",
+                    "FROM (SELECT verb || ' ' || norm_path AS ep, conv_id,"
+                    " turn_idx FROM requests) hc",
+                )
+                + ")"
+            )
+        ).fetchall()
+    )
+    assert got_h == want_h and len(got_h) > 0
+    first = {
+        (r.ep, r.conv_id, r.turn_idx)
+        for r in spark.sql(
+            D.handler_pick_sql({"handler_pick": "first"}, "spark")
+        ).collect()
+    }
+    assert first != got_h  # the direction genuinely flips real picks
+    spark.catalog.dropTempView("hc")
+
+
 def test_filter_files_predicates_reach_the_scan(spark, tmp_path):
     """filter_files renders sargable string predicates: the parquet
     scan's PushedFilters carries the EndsWith/Contains arms instead
