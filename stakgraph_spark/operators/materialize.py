@@ -118,9 +118,31 @@ TEST_KIND_SQL = (
 )
 
 
-def _test_key_sql(tid: str, conv: str, turn: str) -> str:
+def _test_type_expr(tid: str, pack: dict | None = None) -> str:
+    """The build's classify_test (queries/mod.rs:183): the default
+    transcriptish dialect classifies by tid%3; passing a dialect
+    pack routes the SAME build through the pack's test_classes rules
+    (dialects.classify_test_sql) over the test NAME instead — the
+    trait-override-as-data path, live in the production pipeline."""
+    if pack and pack.get("test_classes") is not None:
+        from .dialects import classify_test_sql
+
+        return classify_test_sql(pack, f"'test_' || {tid}", "spark")
+    return TEST_TYPE_SQL.format(tid=tid)
+
+
+def _test_kind_expr(tid: str, pack: dict | None = None) -> str:
+    if pack and pack.get("test_classes") is not None:
+        return (
+            f"CASE {_test_type_expr(tid, pack)} WHEN 'UnitTest' THEN 'unit' "
+            "WHEN 'IntegrationTest' THEN 'integration' ELSE 'e2e' END"
+        )
+    return TEST_KIND_SQL.format(tid=tid)
+
+
+def _test_key_sql(tid: str, conv: str, turn: str, pack: dict | None = None) -> str:
     return node_key_sql(
-        TEST_TYPE_SQL.format(tid=tid),
+        _test_type_expr(tid, pack),
         f"'test_' || {tid}",
         f"'corpus/' || {conv}",
         turn,
@@ -418,6 +440,7 @@ def global_nodes(
     transcripts: DataFrame,
     ent_nodes: DataFrame,
     first_def: DataFrame,
+    pack: dict | None = None,
 ) -> DataFrame:
     """Repository / Language / Directory / Test / entity / Instance
     nodes — derived from corpus-wide state (role strata, bucket list,
@@ -454,8 +477,8 @@ def global_nodes(
     )
 
     tests = first_def.selectExpr(
-        f"{_test_key_sql('tid', 'd_conv', 'd_turn')} AS node_key",
-        f"{TEST_TYPE_SQL.format(tid='tid')} AS node_type",
+        f"{_test_key_sql('tid', 'd_conv', 'd_turn', pack)} AS node_key",
+        f"{_test_type_expr('tid', pack)} AS node_type",
         "'test_' || tid AS name",
         "'corpus/' || d_conv AS file",
         "d_turn AS start",
@@ -463,7 +486,7 @@ def global_nodes(
         *_pad(
             body="d_text",
             hash_="md5(d_text)",
-            meta=f"'parent=' || d_conv || ';test_kind=' || {TEST_KIND_SQL.format(tid='tid')}",
+            meta=f"'parent=' || d_conv || ';test_kind=' || {_test_kind_expr('tid', pack)}",
         ),
     )
 
@@ -507,9 +530,10 @@ def build_nodes(
     ent_nodes: DataFrame,
     first_def: DataFrame,
     requests: DataFrame,
+    pack: dict | None = None,
 ) -> DataFrame:
     return local_nodes(spark, transcripts, requests).unionByName(
-        global_nodes(spark, transcripts, ent_nodes, first_def)
+        global_nodes(spark, transcripts, ent_nodes, first_def, pack)
     )
 
 
@@ -725,6 +749,7 @@ def global_edges(
     ent_nodes: DataFrame,
     first_def: DataFrame,
     matched: DataFrame,
+    pack: dict | None = None,
 ) -> DataFrame:
     """Cross-conversation edge families: scaffolding of the global
     strata, test linking (depends on the corpus-wide first_def pick),
@@ -737,7 +762,8 @@ def global_edges(
     buckets = transcripts.selectExpr(f"{BUCKET_SQL} AS bucket").distinct()
     contains_dir = _edge(buckets, "CONTAINS", f"'{REPO_KEY}'", _dir_key_sql("bucket"))
     contains_test = _edge(
-        first_def, "CONTAINS", _conv_key_sql("d_conv"), _test_key_sql("tid", "d_conv", "d_turn")
+        first_def, "CONTAINS", _conv_key_sql("d_conv"),
+        _test_key_sql("tid", "d_conv", "d_turn", pack),
     )
 
     # CALLS: Test -> referencing turn (shared-test-id link,
@@ -747,17 +773,21 @@ def global_edges(
         .join(F.broadcast(first_def.select("tid", "d_conv", "d_turn")), "tid")
         .select("conv_id", "turn_idx", "tid", "d_conv", "d_turn")
         .distinct(),
-        "CALLS", _test_key_sql("tid", "d_conv", "d_turn"), _turn_key_sql("conv_id", "turn_idx"),
+        "CALLS", _test_key_sql("tid", "d_conv", "d_turn", pack),
+        _turn_key_sql("conv_id", "turn_idx"),
     )
 
-    # HANDLER: endpoint -> globally-first referencing turn. A window
-    # over the 5 endpoint keys would cap this stage at 5 concurrent
-    # tasks (a hard scaling ceiling on the whole build); the
-    # struct-min aggregate gets map-side combine instead — the
-    # shuffle carries one candidate per (endpoint, partition).
+    # HANDLER: endpoint -> globally-first referencing turn (or -last,
+    # when a dialect pack's handler_pick says so — mod.rs:208-223 as
+    # data, live in the build). A window over the 5 endpoint keys
+    # would cap this stage at 5 concurrent tasks (a hard scaling
+    # ceiling on the whole build); the struct-min/max aggregate gets
+    # map-side combine instead — the shuffle carries one candidate
+    # per (endpoint, partition).
+    agg = "min" if (pack or {}).get("handler_pick", "first") == "first" else "max"
     handler = _edge(
         matched.groupBy("entity_id", "node_key")
-        .agg(F.expr("min(struct(conv_id, turn_idx)) AS f"))
+        .agg(F.expr(f"{agg}(struct(conv_id, turn_idx)) AS f"))
         .selectExpr("node_key", "f.conv_id AS conv_id", "f.turn_idx AS turn_idx"),
         "HANDLER", "node_key", _turn_key_sql("conv_id", "turn_idx"),
     )
@@ -806,6 +836,7 @@ def build_edges(
     ent_nodes: DataFrame,
     first_def: DataFrame,
     requests: DataFrame,
+    pack: dict | None = None,
 ) -> DataFrame:
     """All 12 edge families, deduped on (edge_type, source_key,
     target_key) PER FAMILY on narrow conv_id-prefixed columns —
@@ -823,7 +854,7 @@ def build_edges(
     # so the request-extraction scan runs once per action.
     matched = req_matched(requests, ent_nodes).persist()
     return local_edges(spark, transcripts, resolved, ent_nodes, requests, matched).unionByName(
-        global_edges(spark, transcripts, ent_nodes, first_def, matched)
+        global_edges(spark, transcripts, ent_nodes, first_def, matched, pack)
     )
 
 

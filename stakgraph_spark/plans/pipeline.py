@@ -29,8 +29,15 @@ def build_graph(
     transcripts: DataFrame,
     repartition_by_conv: bool = False,
     persist_intermediates: bool = False,
+    pack: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full KG construction; returns every stage's DataFrame.
+
+    pack: an optional dialect pack (operators/dialects.py). The hooks
+    the build consults — test_classes/default_test_class
+    (classify_test, queries/mod.rs:183) and handler_pick
+    (handler_finder, mod.rs:208-223) — route through the pack's data;
+    None keeps the default transcriptish dialect (tid%3, 'first').
 
     Nothing is executed here — callers trigger actions (write/count)
     on the pieces they need; Spark computes shared ancestors once per
@@ -72,8 +79,8 @@ def build_graph(
         resolved = resolved.persist()
         first_def = first_def.persist()
         requests = requests.persist()
-    nodes = M.build_nodes(spark, transcripts, ent_nodes, first_def, requests)
-    edges = M.build_edges(spark, transcripts, resolved, ent_nodes, first_def, requests)
+    nodes = M.build_nodes(spark, transcripts, ent_nodes, first_def, requests, pack)
+    edges = M.build_edges(spark, transcripts, resolved, ent_nodes, first_def, requests, pack)
     if persist_intermediates:
         # The query surface re-reads nodes/edges many times (set ops
         # scan the edge union twice per call); pin the materialized

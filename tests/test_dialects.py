@@ -388,6 +388,105 @@ def test_pack_hooks_drive_the_real_corpus(spark, duck):
     spark.catalog.dropTempView("hc")
 
 
+def test_pack_parameterized_build(spark, duck):
+    """The PRODUCTION build accepts a dialect pack
+    (plans/pipeline.py build_graph(pack=...)): test classification
+    and the HANDLER direction route through pack data (classify_test
+    mod.rs:183 / handler_finder mod.rs:208-223 as data, live in the
+    pipeline). A pack carrying the defaults is byte-identical to the
+    packless build; an overriding pack changes ONLY the hooked
+    families, each equal to the DuckDB oracle rendering of the same
+    pack."""
+    from pyspark.sql import functions as F
+
+    from stakgraph_spark.plans.pipeline import build_graph
+    from stakgraph_spark.sources.transcripts import read_transcripts
+    from stakgraph_spark.sql import templates as T
+    from tests.conftest import SF_SMALL
+
+    pack = {
+        "test_classes": [("[02468]$", "UnitTest"), ("[13]$", "IntegrationTest")],
+        "default_test_class": "E2etest",
+        "handler_pick": "last",
+    }
+    tr = read_transcripts(spark, SF_SMALL)
+    base = build_graph(spark, tr)
+    packed = build_graph(spark, tr, pack=pack)
+
+    # 1. defaults-as-pack == packless, byte-for-byte
+    same = build_graph(spark, tr, pack={"test_classes": None, "handler_pick": "first"})
+    assert same["edges"].exceptAll(base["edges"]).isEmpty()
+    assert base["edges"].exceptAll(same["edges"]).isEmpty()
+
+    # 2. pack classification: Test census == oracle census of the
+    # SAME pack over the oracle's own first_def derivation, and it
+    # genuinely differs from the default tid%3 split
+    kinds = ("UnitTest", "IntegrationTest", "E2etest")
+
+    def census(g):
+        return {
+            (r.node_type, r.n)
+            for r in g["nodes"]
+            .where(F.col("node_type").isin(*kinds))
+            .groupBy("node_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    want = set(
+        duck.execute(
+            T.q(
+                f"SELECT {D.classify_test_sql(pack, chr(39) + 'test_' + chr(39) + ' || tid', 'duckdb')}"
+                " AS node_type, count(*) AS n FROM first_def GROUP BY 1"
+            )
+        ).fetchall()
+    )
+    assert census(packed) == want and census(packed) != census(base)
+
+    # 3. HANDLER 'last' == the oracle's DESC pick over its own
+    # request->endpoint paths_match join
+    got_h = {
+        (r.source_key, r.target_key)
+        for r in packed["edges"].where("edge_type = 'HANDLER'").collect()
+    }
+    want_h = set(
+        duck.execute(
+            T.q(
+                "SELECT en.node_key AS source_key,"
+                f" {T._turn_key('fr.conv_id', 'fr.turn_idx')} AS target_key"
+                " FROM (SELECT entity_id, conv_id, turn_idx FROM ("
+                "   SELECT ep.entity_id, r.conv_id, r.turn_idx,"
+                "          row_number() OVER (PARTITION BY ep.entity_id"
+                "            ORDER BY r.conv_id DESC, r.turn_idx DESC) AS rk"
+                f"  FROM requests r JOIN eps ep ON ep.verb = r.verb AND {T._ep_match('r.norm_path')})"
+                " WHERE rk = 1) fr JOIN ent_nodes en ON en.start = fr.entity_id"
+            )
+        ).fetchall()
+    )
+    base_h = {
+        (r.source_key, r.target_key)
+        for r in base["edges"].where("edge_type = 'HANDLER'").collect()
+    }
+    assert got_h == want_h and got_h != base_h and len(got_h) > 0
+
+    # 4. every NON-hooked family is untouched: drop HANDLER and any
+    # edge touching a Test node key (the classification is inside
+    # the key), then the edge sets must be byte-identical
+    tk = (
+        base["nodes"].where(F.col("node_type").isin(*kinds)).select("node_key")
+        .union(packed["nodes"].where(F.col("node_type").isin(*kinds)).select("node_key"))
+        .distinct()
+    )
+
+    def core(g):
+        e = g["edges"].where("edge_type <> 'HANDLER'")
+        e = e.join(tk, e.source_key == tk.node_key, "left_anti")
+        return e.join(tk, e.target_key == tk.node_key, "left_anti")
+
+    assert core(base).exceptAll(core(packed)).isEmpty()
+    assert core(packed).exceptAll(core(base)).isEmpty()
+
+
 def test_filter_files_predicates_reach_the_scan(spark, tmp_path):
     """filter_files renders sargable string predicates: the parquet
     scan's PushedFilters carries the EndsWith/Contains arms instead
