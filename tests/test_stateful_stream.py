@@ -35,7 +35,11 @@ def test_conversation_state_matches_batch(spark):
         .parquet(in_dir)
     )
     q = conversation_state_query(stream, out_dir, ckpt)
-    q.awaitTermination(180)
+    # availableNow=True stops the stream once every pending file is
+    # processed; a silent timeout here (busy host, full-suite load)
+    # would surface as a confusing downstream equality failure, so
+    # assert termination explicitly with a generous cap.
+    assert q.awaitTermination(600), "stream did not drain available input in 600s"
 
     got_all = spark.read.parquet(out_dir)
     assert got_all.select("batch_id").distinct().count() >= 2  # multi-batch proven
