@@ -76,6 +76,30 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
   router_file     is_router_file (mod.rs:239 default false;
                   react.rs:599-604 NOT-contains '__tests__'):
                   not-contains segment list
+  ep_path_filter  endpoint_path_filter (mod.rs:171-173 default None;
+                  ruby.rs:153-155 'routes.rb'): the substring an
+                  endpoint's file must carry
+  update_endpoint update_endpoint (mod.rs:185 no-op default) as a
+                  named STYLE from a fixed vocabulary — verb_map
+                  (java.rs:170-184 annotation->verb table, unknown
+                  falls to GET, absent adds nothing), suffix_strip
+                  (cpp.rs:278-296 strip '_METHOD', trim quotes,
+                  uppercase; absent annotation -> ANY), name_is_verb
+                  (react.rs:566-579 verb-named Next.js route handlers
+                  renamed from the file via endpoint_name_from_file
+                  react.rs:876-889, handler meta defaults GET)
+  extra_page      use_extra_page_finder / is_extra_page
+                  (mod.rs:266-271 default false; ruby.rs:503-515
+                  '/views/' dir + template exts; react.rs:743-790
+                  app-router page files minus ignore dirs;
+                  angular.rs:242-247 bare ext list): suffix any-of +
+                  contains all-of + not-contains none-of, as data
+  dm_class_join   class_contains_datamodel (mod.rs:296-303;
+                  ruby.rs:608-628 {singularized, pluralized} ×
+                  {Controller, Blueprint} candidate class names):
+                  suffix list + the pack's singular/plural rule
+                  tables + a pascal step, joined against the planted
+                  class dim
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -93,7 +117,7 @@ from ..functions.paths import normalize_backend_path_sql
 from .extract import MENTION_RE, TESTREF_RE, TOOL_RE
 
 # ---------------------------------------------------------------------------
-# The shipped dialect packs (six "languages" with genuinely
+# The shipped dialect packs (seven "languages" with genuinely
 # different behavior on the same planted input — see DIALECT_CASES).
 # ---------------------------------------------------------------------------
 
@@ -142,6 +166,10 @@ DIALECT_PACKS: dict[str, dict] = {
             ],
             "default": "GET",
         },
+        # the class_contains_datamodel join with Flask's own suffix
+        # vocabulary (Blueprint) and NO inflection rules — identity
+        # base vs railsish's singular/plural fan-out
+        "dm_class_join": {"suffixes": ["Blueprint"]},
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -242,6 +270,17 @@ DIALECT_PACKS: dict[str, dict] = {
         "dm_path_filter": "models/",
         # stricter than expressish: test files can't route either
         "router_file": {"not_contains": ["__tests__", ".test."]},
+        # react.rs:566-579: a verb-named App-Router handler is renamed
+        # to its route (endpoint_name_from_file, react.rs:876-889);
+        # the handler meta falls back to GET
+        "update_endpoint": {"style": "name_is_verb", "default_handler": "GET"},
+        # react.rs:743-790 (app-router arm): page files under /app/,
+        # minus the ignore dirs
+        "extra_page": {
+            "contains": ["/app/"],
+            "suffixes": ["/page.tsx", "/page.jsx"],
+            "not_contains": ["/node_modules/", "/__tests__/"],
+        },
     },
     # Go/chi-ish: {param} templates only; table-driven *_test naming;
     # tool extraction DEDUPED per turn (the distinct flag is pack
@@ -322,6 +361,22 @@ DIALECT_PACKS: dict[str, dict] = {
         },
         # ruby.rs:256-258
         "e2e_test_id": "get_by_test_id",
+        # ruby.rs:153-155: endpoints live in routes.rb only
+        "ep_path_filter": "routes.rb",
+        # ruby.rs:503-515: a page is a template under the views dir
+        "extra_page": {
+            "contains": ["/views/"],
+            "suffixes": [".erb", ".haml", ".html"],
+        },
+        # ruby.rs:608-628: candidate classes are {singular, plural} ×
+        # {Controller, Blueprint}, PascalCased — the inflection tables
+        # are the same data the assoc/dm-name hooks carry
+        "dm_class_join": {
+            "suffixes": ["Controller", "Blueprint"],
+            "singular_rules": [("ies", "y"), ("us", "us"), ("s", "")],
+            "plural_rules": [("y", "ies"), ("us", "uses"), ("", "s")],
+            "pascal": True,
+        },
     },
     # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
     # the java.rs dotted-import rewrites (the one pack shipping the
@@ -352,6 +407,49 @@ DIALECT_PACKS: dict[str, dict] = {
             "name_op": "last_dot_segment",
         },
         "test_file": {"suffixes": ["Test.java", "IT.java"]},
+        # Spring-style: endpoints live in *Controller classes
+        "ep_path_filter": "Controller",
+        # java.rs:170-184: @GetMapping-family annotations map to
+        # verbs exactly, unknown annotations fall to GET, and an
+        # un-annotated endpoint gains no verb
+        "update_endpoint": {
+            "style": "verb_map",
+            "table": [
+                ("GETMAPPING", "GET"),
+                ("POSTMAPPING", "POST"),
+                ("PUTMAPPING", "PUT"),
+                ("DELETEMAPPING", "DELETE"),
+                ("PATCHMAPPING", "PATCH"),
+            ],
+            "unknown": "GET",
+        },
+    },
+    # Drogon/Crow-ish C++: {param} templates; TEST_-macro naming;
+    # the cpp.rs update_endpoint style (strip _METHOD, trim quotes,
+    # uppercase, ANY when un-annotated); vcpkg manifest lines.
+    "cppish": {
+        "rules": [("mention", MENTION_RE, True)],
+        "request_styles": ["brace"],
+        "test_classes": [("^TEST_", "UnitTest"), ("^e2e_", "E2etest")],
+        "default_test_class": "IntegrationTest",
+        "handler_pick": "first",
+        # cpp.rs:278-296
+        "update_endpoint": {"style": "suffix_strip", "suffix": "_METHOD"},
+        "file_filters": {
+            "junk_dirs": ["build", "cmake-build-debug"],
+            "binary_exts": [".o", ".png"],
+            "package_files": ["vcpkg.json"],
+            "include_exts": [".cpp", ".h"],
+            "exclude_package_files": ["package.json", "go.mod", "requirements.txt"],
+            "exclude_exts": [".py", ".js", ".go", ".java"],
+            "skip_file_ends": [".generated.cpp"],
+        },
+        "lib_manifest": {
+            "file": "vcpkg.json",
+            "line_re": '^"([a-z][a-z0-9-]*)": "([0-9][0-9.]*)",?$',
+        },
+        # quoted #include-style specs lose their quotes; names as-is
+        "import_resolve": {"path_ops": ["strip_quotes"], "name_op": "identity"},
     },
 }
 
@@ -418,6 +516,61 @@ MANIFEST_CASES: list[tuple[int, str, str]] = [
     (9, "Gemfile", "source 'https://rubygems.org'"),
     (10, "build.gradle", 'implementation "org.slf4j:slf4j-api:2.0.9"'),
     (11, "build.gradle", 'testImplementation "junit:junit:4.13.2"'),
+    (12, "vcpkg.json", '"fmt": "10.1.1",'),
+    (13, "vcpkg.json", '"$schema": "https://example.invalid/vcpkg.schema.json",'),
+]
+
+# Planted endpoint-definition files, (pid, ep_file), for
+# endpoint_path_filter: a routes.rb, controller files in two
+# languages (case-sensitive contains — only the Java one carries
+# 'Controller'), a plain server main.
+EPFILE_CASES: list[tuple[int, str]] = [
+    (0, "config/routes.rb"),
+    (1, "app/controllers/items_controller.rb"),
+    (2, "src/ItemController.java"),
+    (3, "src/main/AppRoutes.java"),
+    (4, "cmd/server/main.go"),
+]
+
+# Planted endpoint nodes for update_endpoint, (uid, ep_name, ep_file,
+# annot) — annot '' models the absent verb annotation. The java rows
+# exercise the exact table + unknown fallthrough, the cpp rows the
+# suffix-strip/trim-quotes/uppercase chain and the ANY default, the
+# route.ts rows the verb-named-handler rename.
+UPDATE_CASES: list[tuple[int, str, str, str]] = [
+    (0, "createItem", "src/Api.java", "POSTMAPPING"),
+    (1, "listItems", "src/Api.java", "GETMAPPING"),
+    (2, "oddball", "src/Api.java", "TRACEMAPPING"),
+    (3, "register", "srv/main.cpp", '"get"_METHOD'),
+    (4, "register2", "srv/main.cpp", "'post'"),
+    (5, "bare", "srv/main.cpp", ""),
+    (6, "GET", "app/api/items/route.ts", ""),
+    (7, "helper", "app/api/items/route.ts", "POST"),
+]
+
+# Planted candidate page files for extra_page: rails views (partials,
+# two template exts, a stray .md), Next.js app-router pages (one in a
+# test dir, one under node_modules), a pages-router file.
+PAGE_CASES: list[tuple[int, str]] = [
+    (0, "app/views/users/index.html.erb"),
+    (1, "app/views/users/_form.haml"),
+    (2, "src/app/items/page.tsx"),
+    (3, "src/app/items/__tests__/page.tsx"),
+    (4, "web/node_modules/x/app/page.jsx"),
+    (5, "app/views/readme.md"),
+    (6, "src/pages/about.tsx"),
+]
+
+# Planted class names for class_contains_datamodel: the DM_CASES
+# names (Customer, Company, Status, LineItem) hit these via each
+# pack's suffix × inflection candidate fan-out.
+CLASS_CASES: list[tuple[int, str]] = [
+    (0, "CustomerController"),
+    (1, "CompaniesBlueprint"),
+    (2, "StatusController"),
+    (3, "OrderController"),
+    (4, "Helper"),
+    (5, "CustomerBlueprint"),
 ]
 
 # Planted raw import specs, (case_id, raw_import): relative prefixes,
@@ -601,6 +754,34 @@ def e2e_cases_cte() -> str:
     return _union_all(E2E_CASES, ["eeid", "calltext"], ["INT", "STRING"])
 
 
+def epfile_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(EPFILE_CASES, ["pid", "ep_file"], ["INT", "STRING"])
+
+
+def update_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        UPDATE_CASES,
+        ["uid", "ep_name", "ep_file", "annot"],
+        ["INT", "STRING", "STRING", "STRING"],
+    )
+
+
+def page_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(PAGE_CASES, ["pgid", "page_file"], ["INT", "STRING"])
+
+
+def class_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(CLASS_CASES, ["klid", "class_name"], ["INT", "STRING"])
+
+
 # ---------------------------------------------------------------------------
 # Pack interpreters — fixed operators rendering dialect-portable SQL
 # from pack data. No pack-specific code anywhere below this line.
@@ -735,31 +916,52 @@ def clean_edges_sql(pack: dict) -> str:
     )
 
 
-def assoc_name_sql(pack: dict, expr: str, dialect: str) -> str:
-    """convert_association_to_name as data (mod.rs:284-286 identity
-    default; ruby.rs:554-557 singularize + PascalCase). Ordered
-    suffix rules render as a first-match CASE (LIKE/substr only);
-    the pascal step upper-cases each '_' segment head — the one
-    interpreter needing a per-dialect lambda spelling (Spark
-    transform/array_join vs DuckDB list_transform/list_aggregate)."""
-    spec = pack["assoc_name"]
+def _singular_case_sql(expr: str, rules: list[tuple[str, str]]) -> str:
+    """Ordered first-match singularization suffix rules as a CASE
+    (LIKE/substr only; a (suf, suf) rule is a protect-pass-through)."""
     arms = []
-    for suf, rep in spec["singular_rules"]:
+    for suf, rep in rules:
         keep = f"substr({expr}, 1, length({expr}) - {len(suf)})"
         val = expr if rep == suf else f"{keep} || {_sq(rep)}" if rep else keep
         arms.append(f"WHEN {expr} LIKE {_sq('%' + suf)} THEN {val}")
-    sing = f"CASE {' '.join(arms)} ELSE {expr} END"
-    if not spec.get("pascal"):
-        return sing
+    return f"CASE {' '.join(arms)} ELSE {expr} END"
+
+
+def _plural_case_sql(expr: str, rules: list[tuple[str, str]]) -> str:
+    """Ordered first-match pluralization suffix rules; the '' rule is
+    the catch-all append."""
+    arms, catch = [], None
+    for suf, rep in rules:
+        if not suf:
+            catch = rep
+            continue
+        keep = f"substr({expr}, 1, length({expr}) - {len(suf)})"
+        arms.append(f"WHEN {expr} LIKE {_sq('%' + suf)} THEN {keep} || {_sq(rep)}")
+    tail = f"{expr} || {_sq(catch)}" if catch is not None else expr
+    return f"CASE {' '.join(arms)} ELSE {tail} END"
+
+
+def _pascal_sql(expr: str, dialect: str) -> str:
+    """PascalCase each '_' segment head — the one rendering needing a
+    per-dialect lambda spelling (Spark transform/array_join vs DuckDB
+    list_transform/list_aggregate)."""
     if dialect == "spark":
         return (
-            f"array_join(transform(split({sing}, '_'),"
+            f"array_join(transform(split({expr}, '_'),"
             f" s -> upper(substr(s, 1, 1)) || substr(s, 2)), '')"
         )
     return (
-        f"list_aggregate(list_transform(string_split({sing}, '_'),"
+        f"list_aggregate(list_transform(string_split({expr}, '_'),"
         f" s -> upper(substr(s, 1, 1)) || substr(s, 2)), 'string_agg', '')"
     )
+
+
+def assoc_name_sql(pack: dict, expr: str, dialect: str) -> str:
+    """convert_association_to_name as data (mod.rs:284-286 identity
+    default; ruby.rs:554-557 singularize + PascalCase)."""
+    spec = pack["assoc_name"]
+    sing = _singular_case_sql(expr, spec["singular_rules"])
+    return _pascal_sql(sing, dialect) if spec.get("pascal") else sing
 
 
 def resolve_import_sql(pack: dict, expr: str) -> tuple[str, str]:
@@ -836,15 +1038,7 @@ def data_model_name_sql(pack: dict, expr: str) -> str:
     suffix rules; the '' rule is the catch-all append. LIKE/substr
     only — dialect-portable."""
     spec = pack["data_model_name"]
-    arms, catch = [], None
-    for suf, rep in spec["plural_rules"]:
-        if not suf:
-            catch = rep
-            continue
-        keep = f"substr({expr}, 1, length({expr}) - {len(suf)})"
-        arms.append(f"WHEN {expr} LIKE {_sq('%' + suf)} THEN {keep} || {_sq(rep)}")
-    tail = f"{expr} || {_sq(catch)}" if catch is not None else expr
-    out = f"CASE {' '.join(arms)} ELSE {tail} END"
+    out = _plural_case_sql(expr, spec["plural_rules"])
     return f"lower({out})" if spec.get("lower") else out
 
 
@@ -871,6 +1065,115 @@ def router_file_sql(pack: dict, expr: str) -> str:
         f"NOT {_wild(expr, '%', c, '%')}" for c in spec["not_contains"]
     )
     return f"CAST({arms} AS STRING)"
+
+
+def update_endpoint_sql(
+    pack: dict, name_expr: str, file_expr: str, annot_expr: str, dialect: str
+) -> str:
+    """update_endpoint as a named STYLE (mod.rs:185 no-op default):
+    the value is `updated_name || '#' || verb` so one arm carries
+    both mutations the hook can make. Styles:
+
+      verb_map      java.rs:170-184 — annotation maps through an
+                    exact table, unknown annotations fall to the
+                    'unknown' verb, an absent annotation adds nothing
+      suffix_strip  cpp.rs:278-296 — strip the declared suffix, trim
+                    quotes (the shared trim_quotes scalar), uppercase;
+                    an absent annotation means ANY
+      name_is_verb  react.rs:566-579 — a verb-named handler is renamed
+                    to its route (endpoint_name_from_file,
+                    react.rs:876-889: keep from '/api/', drop a
+                    /route.ts|.js tail); handler = annotation or the
+                    declared default
+
+    '' in the planted annot column models the absent annotation.
+    position/substr/CASE/escaped-LIKE only — dialect-portable."""
+    from ..functions.paths import trim_quotes_sql
+    from .files import _wild
+
+    spec = pack["update_endpoint"]
+    style = spec["style"]
+    if style == "verb_map":
+        arms = " ".join(
+            f"WHEN {annot_expr} = {_sq(k)} THEN {_sq(v)}" for k, v in spec["table"]
+        )
+        verb = (
+            f"CASE WHEN {annot_expr} = '' THEN '' {arms}"
+            f" ELSE {_sq(spec['unknown'])} END"
+        )
+        return f"{name_expr} || '#' || {verb}"
+    if style == "suffix_strip":
+        t = f"trim({annot_expr})"
+        suf = spec["suffix"]
+        stripped = (
+            f"CASE WHEN {_wild(t, '%', suf, '')}"
+            f" THEN substr({t}, 1, length({t}) - {len(suf)}) ELSE {t} END"
+        )
+        verb = (
+            f"CASE WHEN {annot_expr} = '' THEN 'ANY'"
+            f" ELSE upper({trim_quotes_sql(stripped, dialect)}) END"
+        )
+        return f"{name_expr} || '#' || {verb}"
+    # name_is_verb
+    after = f"substr({file_expr}, position('/api/' IN {file_expr}))"
+    routed = (
+        f"CASE WHEN {after} LIKE '%/route.ts' OR {after} LIKE '%/route.js'"
+        f" THEN substr({after}, 1, length({after}) - 9) ELSE {after} END"
+    )
+    route = (
+        f"CASE WHEN position('/api/' IN {file_expr}) > 0"
+        f" THEN {routed} ELSE {file_expr} END"
+    )
+    name_out = (
+        f"CASE WHEN {name_expr} IN ('GET', 'POST', 'PUT', 'DELETE', 'PATCH')"
+        f" THEN {route} ELSE {name_expr} END"
+    )
+    handler = (
+        f"CASE WHEN {annot_expr} <> '' THEN {annot_expr}"
+        f" ELSE {_sq(spec.get('default_handler', 'GET'))} END"
+    )
+    return f"{name_out} || '#' || {handler}"
+
+
+def extra_page_sql(pack: dict, expr: str) -> str:
+    """is_extra_page as data (mod.rs:266-271 default false;
+    angular.rs:242-247 ext list; ruby.rs:503-515 views dir + template
+    exts; react.rs:743-790 app-router pages minus ignore dirs):
+    suffix ANY-of + contains ALL-of + not-contains NONE-of, rendered
+    with the escaped-LIKE helper."""
+    from .files import _any, _wild
+
+    spec = pack["extra_page"]
+    conds = []
+    sufs = [_wild(expr, "%", s, "") for s in spec.get("suffixes", [])]
+    if sufs:
+        conds.append(_any(sufs))
+    conds += [_wild(expr, "%", c, "%") for c in spec.get("contains", [])]
+    conds += [f"NOT {_wild(expr, '%', c, '%')}" for c in spec.get("not_contains", [])]
+    return " AND ".join(conds)
+
+
+def dm_class_join_sql(pack: dict, dialect: str) -> str:
+    """class_contains_datamodel as data (mod.rs:296-303;
+    ruby.rs:608-628): candidate class names are {singularized,
+    pluralized} dm_name × declared suffixes (PascalCased when the
+    pack says so — identity bases when the pack carries no inflection
+    tables), equi-matched against the planted class dim via IN. A
+    full SELECT over the `dmc`/`kc` CTEs emitting (did, class_name)
+    matches."""
+    spec = pack["dm_class_join"]
+    sing = plur = "dm_name"
+    if spec.get("singular_rules"):
+        sing = _singular_case_sql("dm_name", spec["singular_rules"])
+    if spec.get("plural_rules"):
+        plur = _plural_case_sql("dm_name", spec["plural_rules"])
+    if spec.get("pascal"):
+        sing, plur = _pascal_sql(sing, dialect), _pascal_sql(plur, dialect)
+    cands = [f"{b} || {_sq(s)}" for b in (sing, plur) for s in spec["suffixes"]]
+    return (
+        "SELECT did, class_name FROM dmc, kc"
+        f" WHERE class_name IN ({', '.join(cands)})"
+    )
 
 
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
@@ -972,6 +1275,31 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'router', tfname,"
             f" {router_file_sql(pack, 'tfname')} FROM tf"
         )
+    if pack.get("ep_path_filter"):
+        # absent key = the trait's None default (mod.rs:171-173);
+        # like dmfile, the arm emits SURVIVORS
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'epfile', CAST(pid AS STRING),"
+            f" ep_file FROM epc WHERE {_wild_contains('ep_file', pack['ep_path_filter'])}"
+        )
+    if pack.get("update_endpoint"):
+        # absent key = the trait's no-op default (mod.rs:185)
+        ue = update_endpoint_sql(pack, "ep_name", "ep_file", "annot", dialect)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'update', CAST(uid AS STRING),"
+            f" {ue} FROM uc"
+        )
+    if pack.get("extra_page"):
+        # absent key = use_extra_page_finder false (mod.rs:266-268)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'xpage', CAST(pgid AS STRING),"
+            f" page_file FROM pgc WHERE {extra_page_sql(pack, 'page_file')}"
+        )
+    if pack.get("dm_class_join"):
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'dmclass', CAST(did AS STRING),"
+            f" class_name FROM ({dm_class_join_sql(pack, dialect)})"
+        )
     return body
 
 
@@ -982,7 +1310,9 @@ def _dims_with() -> str:
         f" ic AS ({import_cases_cte()}), ce AS ({clean_cases_cte()}),"
         f" ac AS ({assoc_cases_cte()}), nc AS ({func_cases_cte()}),"
         f" vc AS ({verb_cases_cte()}), tf AS ({testfile_cases_cte()}),"
-        f" dmc AS ({dm_cases_cte()}), ec2 AS ({e2e_cases_cte()}) "
+        f" dmc AS ({dm_cases_cte()}), ec2 AS ({e2e_cases_cte()}),"
+        f" epc AS ({epfile_cases_cte()}), uc AS ({update_cases_cte()}),"
+        f" pgc AS ({page_cases_cte()}), kc AS ({class_cases_cte()}) "
     )
 
 

@@ -314,6 +314,65 @@ def test_dm_e2eid_router_hooks_per_pack(spark):
     assert kind("railsish", "router") == {}
 
 
+def test_epfile_update_xpage_dmclass_hooks_per_pack(spark):
+    """Round-4 widening, batch 3: endpoint_path_filter
+    (ruby.rs:153-155), update_endpoint's three reference styles
+    (java.rs:170-184 verb_map, cpp.rs:278-296 suffix_strip,
+    react.rs:566-579 + 876-889 name_is_verb), is_extra_page
+    (ruby.rs:503-515 / react.rs:743-790), class_contains_datamodel
+    (ruby.rs:608-628) as pack data."""
+    out = {
+        name: _spark_rows(spark, name, pack) for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # endpoint_path_filter: different substrings, different survivors;
+    # contains is case-sensitive (items_controller.rb must NOT match
+    # javaish's 'Controller')
+    assert kind("railsish", "epfile") == {"0": "config/routes.rb"}
+    assert kind("javaish", "epfile") == {"2": "src/ItemController.java"}
+    assert kind("goish", "epfile") == {}             # trait None default
+    # update_endpoint — the same 8 planted endpoints, three styles:
+    # verb_map maps the table exactly, unknown -> GET, absent -> none
+    jv = kind("javaish", "update")
+    assert jv["0"] == "createItem#POST" and jv["1"] == "listItems#GET"
+    assert jv["2"] == "oddball#GET"                  # unknown annotation
+    assert jv["5"] == "bare#" and jv["6"] == "GET#"  # absent adds nothing
+    # suffix_strip: strip _METHOD, trim quotes, uppercase; absent -> ANY
+    cp = kind("cppish", "update")
+    assert cp["3"] == "register#GET" and cp["4"] == "register2#POST"
+    assert cp["5"] == "bare#ANY" and cp["6"] == "GET#ANY"
+    # name_is_verb: the verb-named route.ts handler is renamed from
+    # its file; handler meta = annotation or GET
+    nx = kind("nextish", "update")
+    assert nx["6"] == "/api/items#GET"               # renamed from file
+    assert nx["7"] == "helper#POST" and nx["5"] == "bare#GET"
+    assert kind("flaskish", "update") == {}          # trait no-op default
+    # is_extra_page: views-dir templates vs app-router pages — the
+    # same planted files flip per pack; ignore dirs prune
+    assert kind("railsish", "xpage") == {
+        "0": "app/views/users/index.html.erb",
+        "1": "app/views/users/_form.haml",
+    }
+    assert kind("nextish", "xpage") == {"2": "src/app/items/page.tsx"}
+    assert kind("goish", "xpage") == {}
+    # class_contains_datamodel: railsish fans out {singular, plural} ×
+    # {Controller, Blueprint} (Status protected from bare-s stripping);
+    # flaskish joins identity-base × Blueprint only
+    rl = {r[2:] for r in out["railsish"] if r[1] == "dmclass"}
+    assert rl == {
+        ("0", "CustomerController"),
+        ("0", "CustomerBlueprint"),
+        ("1", "CompaniesBlueprint"),
+        ("2", "StatusController"),
+    }
+    assert {r[2:] for r in out["flaskish"] if r[1] == "dmclass"} == {
+        ("0", "CustomerBlueprint")
+    }
+
+
 def test_pack_hooks_drive_the_real_corpus(spark, duck):
     """Dialect hooks over the REAL sf0.001 corpus, not planted dims:
     a pack whose classify_test rules differ from the build's tid%3
