@@ -331,13 +331,16 @@ def _q_ann_lsh_pairs(spark, sf_dir):
 
 def _q_dialects(spark, sf_dir):
     """Dialect packs (the Stack-trait hook surface as DATA): every
-    shipped pack's 20 hook kinds — request-normalize / classify_test /
+    shipped pack's 25 hook kinds — request-normalize / classify_test /
     handler_pick / should_not_include-file-stack / lib-manifest
     (get_libs) / import-resolve / clean_edges / assoc_name /
     is_component / endpoint-verb / is_test_file / dm-path-filter /
     data_model_name / e2e-test-id / is_router_file /
     endpoint-path-filter / update_endpoint (verb_map, suffix_strip,
-    name_is_verb styles) / is_extra_page / class_contains_datamodel —
+    name_is_verb styles) / is_extra_page / class_contains_datamodel /
+    component-template finders (selector→template map + RENDERS) /
+    identifier_query / find_function_parent (enclosing_range,
+    receiver_type) / direct_class_calls / filter_by_implements —
     plus extraction rules (through the Arrow rule-pack executor) over
     the planted dims, pack-tagged — ONE pack definition drives both
     this query and its DuckDB oracle."""

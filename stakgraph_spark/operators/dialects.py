@@ -100,6 +100,41 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   suffix list + the pack's singular/plural rule
                   tables + a pascal step, joined against the planted
                   class dim
+  component_template
+                  the component-template finder family —
+                  component_template_query (mod.rs:245-247 default
+                  None; angular.rs:23-42 the @Component decorator
+                  query), template_ext (mod.rs:263-265; angular.rs:
+                  42-44), component_selector_to_template_map
+                  (angular.rs:296-361: selector + templateUrl pulled
+                  from component files, resolved against the file's
+                  directory) and page_component_renders_finder
+                  (angular.rs:364-420: a page RENDERS the component's
+                  template when its text contains '<'+selector) — as
+                  data: the component file suffix, the two decorator
+                  keys, and the page extension
+  identifier      identifier_query (mod.rs:95-97 default;
+                  ruby.rs:184-186 constants with :: scope segments,
+                  kotlin.rs:15-17 its own node shape): the pack's
+                  class-identifier extraction rule over declaration
+                  text
+  parent_resolve  find_function_parent (mod.rs:132-141 default None)
+                  as a named strategy: 'enclosing_range' (python.rs:
+                  105-133 / ruby.rs:156-182 / kotlin.rs:139-160 walk
+                  up to the INNERMOST class whose span contains the
+                  function) or 'receiver_type' (go.rs:206-229: the
+                  declared receiver looked up by name, no ranges)
+  direct_class_calls
+                  mod.rs:281-283 default false; ruby.rs:551-553 true;
+                  consumed at format.rs:758-764: when a call's
+                  operand names EXACTLY ONE known class, a
+                  Class-level call edge is recorded (ambiguous or
+                  unknown operands record nothing)
+  filter_by_implements
+                  mod.rs:199-201 default false; rust.rs:351-353 true;
+                  consumed at format.rs:59-78: a class survives ONLY
+                  when an implements match names it, carrying the
+                  FIRST matching trait
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -170,6 +205,9 @@ DIALECT_PACKS: dict[str, dict] = {
         # vocabulary (Blueprint) and NO inflection rules — identity
         # base vs railsish's singular/plural fan-out
         "dm_class_join": {"suffixes": ["Blueprint"]},
+        # python.rs:105-133: walk up the tree to the innermost
+        # enclosing class_definition — ranges, not receivers
+        "parent_resolve": {"style": "enclosing_range"},
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -317,6 +355,11 @@ DIALECT_PACKS: dict[str, dict] = {
         # overrides neither (trait defaults: false / no-op), so the
         # surface emits nothing for those hooks
         "test_file": {"suffixes": ["_test.go"]},
+        # go.rs:206-229: methods carry an explicit receiver type; the
+        # parent is that class looked up BY NAME (no range walk) —
+        # the same planted functions resolve differently than
+        # flaskish's enclosing_range
+        "parent_resolve": {"style": "receiver_type"},
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -377,6 +420,14 @@ DIALECT_PACKS: dict[str, dict] = {
             "plural_rules": [("y", "ies"), ("us", "uses"), ("", "s")],
             "pascal": True,
         },
+        # ruby.rs:184-186: ruby constants may carry :: scope segments
+        # — the identifier rule captures the full scoped name where
+        # javaish's stops at the first segment
+        "identifier": {"re": "class ([A-Z][A-Za-z0-9_:]*)"},
+        # ruby.rs:551-553 — the one reference override; a call whose
+        # operand names exactly one known class records a Class-level
+        # call edge (format.rs:758-764)
+        "direct_class_calls": True,
     },
     # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
     # the java.rs dotted-import rewrites (the one pack shipping the
@@ -423,6 +474,10 @@ DIALECT_PACKS: dict[str, dict] = {
             ],
             "unknown": "GET",
         },
+        # JVM identifiers have no scope-resolution segments: the rule
+        # stops where railsish's :: continues, so the same planted
+        # declaration yields a different class name per pack
+        "identifier": {"re": "class ([A-Za-z0-9_]+)"},
     },
     # Drogon/Crow-ish C++: {param} templates; TEST_-macro naming;
     # the cpp.rs update_endpoint style (strip _METHOD, trim quotes,
@@ -451,6 +506,63 @@ DIALECT_PACKS: dict[str, dict] = {
         # quoted #include-style specs lose their quotes; names as-is
         "import_resolve": {"path_ops": ["strip_quotes"], "name_op": "identity"},
     },
+    # Angular-ish: the component-template finder family as data —
+    # @Component decorator keys, .component.ts files, .html pages
+    # (angular.rs:23-44, 296-420, wired by core.rs:671-718).
+    "angularish": {
+        "rules": [("mention", MENTION_RE, True)],
+        "request_styles": ["colon"],
+        "test_classes": [("^e2e_", "E2etest"), ("spec$", "UnitTest")],
+        "default_test_class": "IntegrationTest",
+        "handler_pick": "first",
+        # angular lib_query (angular.rs:45-57) reads package.json like
+        # expressish/nextish, but this pack's line rule takes SCOPED
+        # (@org/name) dependencies only — a third answer from the
+        # same planted manifest rows
+        "lib_manifest": {
+            "file": "package.json",
+            "line_re": '^"(@[a-z0-9/._-]+)": "[~^]?([0-9][0-9A-Za-z.-]*)",?$',
+        },
+        # angular.rs:223-241: trim, strip './' and '/', strip quotes
+        "import_resolve": {
+            "path_ops": ["trim", "strip_rel_prefix", "strip_quotes"],
+            "name_op": "identity",
+        },
+        # the new hook family: which files declare components, which
+        # decorator keys carry the selector and template path, which
+        # files are scannable pages
+        "component_template": {
+            "component_suffix": ".component.ts",
+            "selector_key": "selector",
+            "template_key": "templateUrl",
+            "page_ext": ".html",
+        },
+        # components are exported classes; the rule matches ONLY
+        # export-prefixed declarations, unlike railsish/javaish
+        "identifier": {"re": "export class ([A-Za-z0-9_]+)"},
+        # angular.rs:242-247: a bare extension list, no dir gate
+        "extra_page": {"suffixes": [".html", ".css", ".scss"]},
+    },
+    # Actix/axum-ish Rust: {param} templates; filter_by_implements
+    # (rust.rs:351-353 — the one reference override) prunes classes
+    # without an implements match; Cargo.toml manifest lines; testref
+    # extraction NOT deduped (javaish dedups the same rule).
+    "rustish": {
+        "rules": [("testref", TESTREF_RE, False)],
+        "request_styles": ["brace"],
+        "test_classes": [
+            ("^unit_", "UnitTest"),
+            ("^int_", "IntegrationTest"),
+            ("^e2e_", "E2etest"),
+        ],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        "lib_manifest": {
+            "file": "Cargo.toml",
+            "line_re": '^([a-z0-9_-]+) = "([0-9][0-9.]*)"$',
+        },
+        "filter_by_implements": True,
+    },
 }
 
 # ---------------------------------------------------------------------------
@@ -469,6 +581,9 @@ DIALECT_CASES: list[tuple[int, str, str, str]] = [
     (4, "/api/docs/[...slug]", "helpers", "tool:calc(1) tool:calc(2)"),
     (5, "/api/u/[uid]/posts/", "e2e_spec", "ref test_7 ref test_9"),
     (6, "/api/v1/ping", "CartIT", "plain text"),
+    # the SAME ref twice in one turn: rustish (no dedup) keeps both,
+    # javaish (dedup) keeps one; TEST_ hits cppish's macro classifier
+    (7, "/api/x/<id>/{z}", "TEST_parse", "ref test_3 ref test_3"),
 ]
 
 # Planted file paths: one set every pack's should_not_include stack
@@ -518,6 +633,12 @@ MANIFEST_CASES: list[tuple[int, str, str]] = [
     (11, "build.gradle", 'testImplementation "junit:junit:4.13.2"'),
     (12, "vcpkg.json", '"fmt": "10.1.1",'),
     (13, "vcpkg.json", '"$schema": "https://example.invalid/vcpkg.schema.json",'),
+    # a scoped dep THREE packs see: expressish's broad rule and
+    # angularish's scoped-only rule both take it, nextish's
+    # tilde-only rule does not
+    (14, "package.json", '"@angular/core": "^17.0.2",'),
+    (15, "Cargo.toml", 'serde = "1.0.193"'),
+    (16, "Cargo.toml", "[dependencies]"),
 ]
 
 # Planted endpoint-definition files, (pid, ep_file), for
@@ -559,6 +680,9 @@ PAGE_CASES: list[tuple[int, str]] = [
     (4, "web/node_modules/x/app/page.jsx"),
     (5, "app/views/readme.md"),
     (6, "src/pages/about.tsx"),
+    # only angularish's bare-extension rule (angular.rs:242-247)
+    # takes a stylesheet, and it needs no /views/ or /app/ dir
+    (7, "src/styles/theme.scss"),
 ]
 
 # Planted class names for class_contains_datamodel: the DM_CASES
@@ -663,6 +787,100 @@ ASSOC_CASES: list[tuple[int, str]] = [
     (1, "companies"),
     (2, "status"),
     (3, "line_item"),
+]
+
+# Planted component declarations, (ccid, comp_file, decl), for
+# component_selector_to_template_map: both quote styles, a file with
+# the wrong suffix (skipped), a decorator without a selector
+# (skipped), and a component whose template page is never planted
+# (mapped, but produces no RENDERS edge — find_page_fn None).
+COMPONENT_CASES: list[tuple[int, str, str]] = [
+    (0, "src/app/nav/nav.component.ts",
+     "selector: 'app-nav', templateUrl: './nav.component.html'"),
+    (1, "src/app/cart/cart.component.ts",
+     'selector: "app-cart", templateUrl: "./cart.component.html"'),
+    (2, "src/app/util/helpers.ts",
+     "selector: 'app-x', templateUrl: './x.component.html'"),
+    (3, "src/app/badge/badge.component.ts",
+     "templateUrl: './badge.component.html'"),
+    (4, "src/app/ghost/ghost.component.ts",
+     "selector: 'app-ghost', templateUrl: './ghost.component.html'"),
+]
+
+# Planted template/page files, (tplid, tpl_file, tpl_text), for
+# page_component_renders_finder: a page referencing one selector, a
+# page referencing two (one with an unplanted target), a selector-free
+# page, a non-page file carrying a selector (ext-gated out), and the
+# reference's substring semantics trap — '<app-navbar' CONTAINS
+# '<app-nav', so the reference emits the edge (angular.rs:400:
+# code.contains(&format!("<{}", selector))) and so do we.
+TEMPLATE_CASES: list[tuple[int, str, str]] = [
+    (0, "src/app/shell/shell.component.html", "<div><app-nav></app-nav></div>"),
+    (1, "src/app/cart/cart.component.html", "<app-nav x=1> plus <app-ghost>"),
+    (2, "src/app/nav/nav.component.html", "plain <span>"),
+    (3, "docs/snippet.txt", "<app-nav>"),
+    (4, "src/app/x/x.component.html", "<app-navbar></app-navbar>"),
+]
+
+# Planted declaration lines, (idid, decl), for the identifier hook:
+# a ::-scoped ruby constant, an exported TS class, a kotlin data
+# class, and a non-class line no rule may match.
+IDENT_CASES: list[tuple[int, str]] = [
+    (0, "class Admin::User < Base"),
+    (1, "export class CartComponent implements OnInit {"),
+    (2, "data class Point(val x: Int)"),
+    (3, "def helper():"),
+]
+
+# Planted class spans, (pcid, cls_file, cls_name, cls_start, cls_end),
+# for parent_resolve / direct_class_calls / filter_by_implements:
+# nested spans in one file (innermost-wins), a class in another file,
+# and a DUPLICATE name (two 'Dup' classes) that direct_class_calls'
+# exactly-one gate must reject.
+PCLASS_CASES: list[tuple[int, str, str, int, int]] = [
+    (0, "src/models.py", "User", 10, 80),
+    (1, "src/models.py", "Meta", 20, 40),
+    (2, "src/models.py", "Order", 100, 150),
+    (3, "pkg/store.go", "Store", 5, 60),
+    (4, "src/a.py", "Dup", 1, 5),
+    (5, "src/b.py", "Dup", 1, 5),
+]
+
+# Planted functions, (pfid, fn_file, fn_name, fn_line, receiver):
+# receiver '' models a plain function. Row 0 sits inside BOTH User
+# and Meta (innermost = Meta); row 4 has no receiver but sits inside
+# Store's span (range-resolving packs find Store, receiver-resolving
+# packs find nothing); row 5's receiver names Order while its line
+# sits inside User (the two strategies give different parents for
+# the SAME row).
+PFUNC_CASES: list[tuple[int, str, str, int, str]] = [
+    (0, "src/models.py", "save", 30, ""),
+    (1, "src/models.py", "validate", 50, ""),
+    (2, "src/models.py", "main", 200, ""),
+    (3, "pkg/store.go", "Get", 120, "Store"),
+    (4, "pkg/store.go", "helper", 20, ""),
+    (5, "src/models.py", "load", 15, "Order"),
+]
+
+# Planted call operands, (clid, operand, called), for
+# direct_class_calls: a unique class match, the ambiguous 'Dup'
+# (format.rs:760-762 requires len == 1), an unknown name, a second
+# unique match.
+CALLOP_CASES: list[tuple[int, str, str]] = [
+    (0, "User", "save"),
+    (1, "Dup", "run"),
+    (2, "Ghost", "go"),
+    (3, "Order", "submit"),
+]
+
+# Planted implements matches, (impid, ord, icls, itrait), for
+# filter_by_implements: User implements TWO traits (the reference
+# takes the FIRST match and breaks, format.rs:66-76 — ord is parse
+# order), Store one, everything else none (filtered out).
+IMPL_CASES: list[tuple[int, int, str, str]] = [
+    (0, 0, "User", "Serializable"),
+    (1, 1, "User", "Comparable"),
+    (2, 2, "Store", "Repository"),
 ]
 
 
@@ -780,6 +998,66 @@ def class_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(CLASS_CASES, ["klid", "class_name"], ["INT", "STRING"])
+
+
+def component_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        COMPONENT_CASES, ["ccid", "comp_file", "decl"], ["INT", "STRING", "STRING"]
+    )
+
+
+def template_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        TEMPLATE_CASES, ["tplid", "tpl_file", "tpl_text"], ["INT", "STRING", "STRING"]
+    )
+
+
+def ident_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(IDENT_CASES, ["idid", "decl"], ["INT", "STRING"])
+
+
+def pclass_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        PCLASS_CASES,
+        ["pcid", "cls_file", "cls_name", "cls_start", "cls_end"],
+        ["INT", "STRING", "STRING", "INT", "INT"],
+    )
+
+
+def pfunc_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        PFUNC_CASES,
+        ["pfid", "fn_file", "fn_name", "fn_line", "receiver"],
+        ["INT", "STRING", "STRING", "INT", "STRING"],
+    )
+
+
+def callop_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        CALLOP_CASES, ["clid", "operand", "called"], ["INT", "STRING", "STRING"]
+    )
+
+
+def impl_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        IMPL_CASES,
+        ["impid", "ord", "icls", "itrait"],
+        ["INT", "INT", "STRING", "STRING"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1176,6 +1454,147 @@ def dm_class_join_sql(pack: dict, dialect: str) -> str:
     )
 
 
+def component_template_sql(pack: dict, dialect: str) -> tuple[str, str]:
+    """The component-template finder family as data
+    (mod.rs:245-264 defaults None/empty/no-op; angular.rs:23-44 the
+    @Component decorator query + template_ext; wired by
+    core.rs:671-718). Returns (selector_map_select, renders_select)
+    over the cpc/tplc dims.
+
+    The selector map (angular.rs:296-361): component files are those
+    ending with the pack's component_suffix; the selector and
+    template path are the pack's two decorator keys' quoted values;
+    the template path runs the reference's resolve chain (trim +
+    './'-strip, angular.rs:223-241) and joins onto the component
+    file's directory. The renders arm (angular.rs:364-420): a page
+    file (pack's page_ext) RENDERS a component's template when its
+    text contains '<' + selector — the reference's EXACT substring
+    semantics (angular.rs:400), including '<app-nav' matching
+    '<app-navbar' — and both endpoints must be known pages
+    (find_nodes_by_file_ends_with, core.rs:711-716: an ends-with
+    probe, rendered here with right())."""
+    spec = pack["component_template"]
+    rx = "regexp_like" if dialect == "spark" else "regexp_matches"
+    from .files import _wild
+
+    def key_pat(key: str) -> str:
+        # keyname: 'value' or keyname: "value" — character classes
+        # only, no backslashes (see _sq)
+        return _sq(key + "[:] *[\"']([^\"']+)[\"']")
+
+    sel = f"regexp_extract(decl, {key_pat(spec['selector_key'])}, 1)"
+    tpl_raw = f"regexp_extract(decl, {key_pat(spec['template_key'])}, 1)"
+    resolved = _op_strip_rel_prefix(_op_trim(tpl_raw))
+    tgt = f"regexp_replace(comp_file, '/[^/]*$', '') || '/' || {resolved}"
+    smap = (
+        f"SELECT {sel} AS sel, {tgt} AS tgt FROM cpc"
+        f" WHERE {_wild('comp_file', '%', spec['component_suffix'], '')}"
+        f" AND {rx}(decl, {key_pat(spec['selector_key'])})"
+        f" AND {rx}(decl, {key_pat(spec['template_key'])})"
+    )
+    renders = (
+        f"SELECT CAST(tplid AS STRING) || ':' || s.sel AS id,"
+        f" tpl_file || ' RENDERS ' || s.tgt AS value"
+        f" FROM tplc JOIN ({smap}) s ON instr(tpl_text, '<' || s.sel) > 0"
+        f" WHERE {_wild('tpl_file', '%', spec['page_ext'], '')}"
+        f" AND EXISTS (SELECT 1 FROM tplc t2"
+        f" WHERE right(t2.tpl_file, length(s.tgt)) = s.tgt)"
+    )
+    return smap, renders
+
+
+def identifier_sql(pack: dict, expr: str, dialect: str) -> tuple[str, str]:
+    """identifier_query as data (mod.rs:95-97 the default node shape;
+    ruby.rs:184-186 constants with :: scope segments, kotlin.rs:15-17
+    kotlin's own identifier node): the pack's class-identifier rule,
+    capture group 1, over planted declaration lines. Returns
+    (match-predicate, extract-expression); non-matching declarations
+    emit nothing (the query simply has no captures)."""
+    rx = "regexp_like" if dialect == "spark" else "regexp_matches"
+    pat = _sq(pack["identifier"]["re"])
+    return f"{rx}({expr}, {pat})", f"regexp_extract({expr}, {pat}, 1)"
+
+
+def parent_resolve_sql(pack: dict, dialect: str) -> str:
+    """find_function_parent as data (mod.rs:132-141 default None —
+    a pack without the key emits nothing): a named strategy from a
+    fixed vocabulary over the pfc/pcc dims, emitting (pfid, value)
+    where value is the NodeKeys pair the reference builds
+    (class name + class start, go.rs:219-224).
+
+    'enclosing_range' — the walk-up-the-tree family (python.rs:
+    105-133, ruby.rs:156-182, kotlin.rs:139-160): the INNERMOST
+    same-file class whose span contains the function line. Spark
+    renders the innermost pick as a struct-max AGGREGATE (map-side
+    combine, no window); the DuckDB oracle uses a row_number window —
+    deliberately different implementations of the same semantics.
+
+    'receiver_type' — the explicit-receiver family (go.rs:206-229):
+    the declared receiver looked up BY NAME, no ranges; functions
+    without a receiver resolve to nothing (go.rs:214-216)."""
+    style = pack["parent_resolve"]["style"]
+    if style == "receiver_type":
+        return (
+            "SELECT pfid, cls_name || ':' || CAST(cls_start AS STRING) AS value"
+            " FROM pfc JOIN pcc ON receiver = cls_name"
+        )
+    if style != "enclosing_range":
+        raise KeyError(f"unknown parent_resolve style: {style}")
+    base = (
+        " FROM pfc JOIN pcc ON pfc.fn_file = pcc.cls_file"
+        " AND pfc.fn_line BETWEEN pcc.cls_start AND pcc.cls_end"
+    )
+    if dialect == "spark":
+        pick = "max(struct(cls_start, cls_name))"
+        return (
+            f"SELECT pfid, {pick}.cls_name || ':' ||"
+            f" CAST({pick}.cls_start AS STRING) AS value{base} GROUP BY pfid"
+        )
+    return (
+        "SELECT pfid, cls_name || ':' || CAST(cls_start AS STRING) AS value FROM ("
+        " SELECT pfid, cls_name, cls_start, row_number() OVER ("
+        f" PARTITION BY pfid ORDER BY cls_start DESC) AS rk{base}) WHERE rk = 1"
+    )
+
+
+def class_calls_sql() -> str:
+    """direct_class_calls as data (mod.rs:281-283 default false;
+    ruby.rs:551-553 the one true override; consumed at
+    format.rs:758-764): when a call's operand names EXACTLY ONE known
+    class, a Class-level call edge is recorded; ambiguous (two 'Dup'
+    classes) or unknown operands record nothing. A count-gated
+    equi-join over the occ/pcc dims — =/COUNT only, so one rendering
+    serves both engines."""
+    return (
+        "SELECT clid, cls || '->' || called AS value FROM ("
+        " SELECT o.clid, min(p.cls_name) AS cls, min(o.called) AS called,"
+        " count(*) AS n FROM occ o JOIN pcc p ON p.cls_name = o.operand"
+        " GROUP BY o.clid) WHERE n = 1"
+    )
+
+
+def implements_sql(dialect: str) -> str:
+    """filter_by_implements as data (mod.rs:199-201 default false;
+    rust.rs:351-353 the one true override; consumed at
+    format.rs:59-78): a class survives ONLY when an implements match
+    names it, and carries the FIRST matching trait (the reference
+    breaks at the first hit — ord is parse order). Spark picks the
+    first trait with a struct-min aggregate; the DuckDB oracle with a
+    row_number window."""
+    if dialect == "spark":
+        return (
+            "SELECT pcid, cls_name || ' impl ' ||"
+            " min(struct(ord, itrait)).itrait AS value"
+            " FROM pcc JOIN imc ON icls = cls_name GROUP BY pcid, cls_name"
+        )
+    return (
+        "SELECT pcid, cls_name || ' impl ' || itrait AS value FROM ("
+        " SELECT pcid, cls_name, itrait, row_number() OVER ("
+        " PARTITION BY pcid ORDER BY ord) AS rk"
+        " FROM pcc JOIN imc ON icls = cls_name) WHERE rk = 1"
+    )
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -1300,6 +1719,40 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'dmclass', CAST(did AS STRING),"
             f" class_name FROM ({dm_class_join_sql(pack, dialect)})"
         )
+    if pack.get("component_template"):
+        # absent key = component_template_query None + template_ext
+        # None (mod.rs:245-247, 263-265): no map, no renders
+        smap, renders = component_template_sql(pack, dialect)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'seltpl', sel, tgt FROM ({smap})"
+            f" UNION ALL SELECT '{pack_name}', 'renders', id, value"
+            f" FROM ({renders})"
+        )
+    if pack.get("identifier"):
+        where, ext = identifier_sql(pack, "decl", dialect)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'ident', CAST(idid AS STRING),"
+            f" {ext} FROM idc WHERE {where}"
+        )
+    if pack.get("parent_resolve"):
+        # absent key = the trait's None default (mod.rs:132-141)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'parent', CAST(pfid AS STRING),"
+            f" value FROM ({parent_resolve_sql(pack, dialect)})"
+        )
+    if pack.get("direct_class_calls"):
+        # absent/false = the trait's false default (mod.rs:281-283)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'classcall', CAST(clid AS STRING),"
+            f" value FROM ({class_calls_sql()})"
+        )
+    if pack.get("filter_by_implements"):
+        # absent/false = no implements filtering (mod.rs:199-201);
+        # like dmfile/epfile, the arm emits SURVIVORS
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'implements', CAST(pcid AS STRING),"
+            f" value FROM ({implements_sql(dialect)})"
+        )
     return body
 
 
@@ -1312,7 +1765,11 @@ def _dims_with() -> str:
         f" vc AS ({verb_cases_cte()}), tf AS ({testfile_cases_cte()}),"
         f" dmc AS ({dm_cases_cte()}), ec2 AS ({e2e_cases_cte()}),"
         f" epc AS ({epfile_cases_cte()}), uc AS ({update_cases_cte()}),"
-        f" pgc AS ({page_cases_cte()}), kc AS ({class_cases_cte()}) "
+        f" pgc AS ({page_cases_cte()}), kc AS ({class_cases_cte()}),"
+        f" cpc AS ({component_cases_cte()}), tplc AS ({template_cases_cte()}),"
+        f" idc AS ({ident_cases_cte()}), pcc AS ({pclass_cases_cte()}),"
+        f" pfc AS ({pfunc_cases_cte()}), occ AS ({callop_cases_cte()}),"
+        f" imc AS ({impl_cases_cte()}) "
     )
 
 

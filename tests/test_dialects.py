@@ -66,12 +66,19 @@ def test_lib_manifest_differs_per_pack(spark):
         return {r[3] for r in out[name] if r[1] == "lib"}
 
     assert libs("flaskish") == {"flask@2.3.0", "pydantic@1.10.12"}
-    # same file, different line rule: caret/plain pins only for
-    # expressish, tilde pins for both
-    assert libs("expressish") == {"express@4.18.2", "next@13.4.0"}
+    # same file, THREE different line rules: expressish's broad rule
+    # takes caret/plain pins incl. the scoped dep, nextish tilde pins
+    # only, angularish scoped (@org/name) deps only
+    assert libs("expressish") == {
+        "express@4.18.2",
+        "next@13.4.0",
+        "@angular/core@17.0.2",
+    }
     assert libs("nextish") == {"next@13.4.0"}
+    assert libs("angularish") == {"@angular/core@17.0.2"}
     assert libs("goish") == {"github.com/go-chi/chi@5.0.8"}
     assert libs("railsish") == {"rails@7.0.4"}
+    assert libs("rustish") == {"serde@1.0.193"}  # Cargo.toml dep lines only
 
 
 def test_import_resolve_differs_per_pack(spark):
@@ -574,3 +581,112 @@ def test_filter_files_escapes_like_wildcards(spark):
     df = spark.createDataFrame([("a_gen.go",), ("xgen.go",)], "file string")
     got = {r.file for r in filter_files(df, {"skip_file_ends": ["_gen.go"]}).collect()}
     assert got == {"xgen.go"}  # bare _ would have matched both
+
+
+def test_component_template_hooks(spark):
+    """Round-4 widening: the component-template finder family
+    (angular.rs:23-44 decorator query + template_ext, 296-361
+    selector->template map, 364-420 renders scan) as pack data."""
+    out = _spark_rows(spark, "angularish", D.DIALECT_PACKS["angularish"])
+    seltpl = {r[2]: r[3] for r in out if r[1] == "seltpl"}
+    renders = {r[2]: r[3] for r in out if r[1] == "renders"}
+
+    # the map: wrong-suffix files (helpers.ts) and selector-less
+    # decorators (badge) are skipped; paths resolve './' against the
+    # component file's directory (angular.rs:223-241, 353-358)
+    assert seltpl == {
+        "app-nav": "src/app/nav/nav.component.html",
+        "app-cart": "src/app/cart/cart.component.html",
+        "app-ghost": "src/app/ghost/ghost.component.html",
+    }
+    # renders: ext-gated pages only (docs/snippet.txt drops out), the
+    # unplanted ghost target emits nothing (find_page_fn None,
+    # angular.rs:401-409), and the reference's substring semantics
+    # are preserved EXACTLY — '<app-navbar' contains '<app-nav'
+    # (angular.rs:400), so the x page renders nav
+    assert renders == {
+        "0:app-nav": "src/app/shell/shell.component.html RENDERS src/app/nav/nav.component.html",
+        "1:app-nav": "src/app/cart/cart.component.html RENDERS src/app/nav/nav.component.html",
+        "4:app-nav": "src/app/x/x.component.html RENDERS src/app/nav/nav.component.html",
+    }
+    # packs without the key emit nothing (mod.rs:245-247 None default)
+    for name in ("flaskish", "goish", "nextish"):
+        rows = _spark_rows(spark, name, D.DIALECT_PACKS[name])
+        assert not [r for r in rows if r[1] in ("seltpl", "renders")]
+    # angularish's bare-extension is_extra_page (angular.rs:242-247):
+    # a stylesheet with no dir gate, where railsish needs /views/
+    xp = {r[2]: r[3] for r in out if r[1] == "xpage"}
+    assert xp["7"] == "src/styles/theme.scss"
+
+
+def test_identifier_and_parent_resolve_differ_per_pack(spark):
+    """identifier_query (ruby.rs:184-186 vs kotlin.rs:15-17 vs the
+    mod.rs:95-97 default shape) and find_function_parent
+    (python.rs:105-133 range walk vs go.rs:206-229 receiver lookup)
+    as pack data: the same planted rows answer differently."""
+    out = {
+        name: _spark_rows(spark, name, pack)
+        for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # identifier: scope segments captured only by railsish; angularish
+    # requires the export prefix; non-class lines match nobody
+    assert kind("railsish", "ident") == {
+        "0": "Admin::User",
+        "1": "CartComponent",
+        "2": "Point",
+    }
+    assert kind("javaish", "ident")["0"] == "Admin"  # :: stops the rule
+    assert kind("angularish", "ident") == {"1": "CartComponent"}
+    assert kind("flaskish", "ident") == {}  # no hook -> no rows
+
+    # parent_resolve: the SAME function rows resolve differently.
+    fl, go = kind("flaskish", "parent"), kind("goish", "parent")
+    assert fl == {
+        "0": "Meta:20",    # innermost of User[10,80] / Meta[20,40]
+        "1": "User:10",    # outside Meta's span
+        "4": "Store:5",    # range hit despite empty receiver
+        "5": "User:10",    # receiver ignored by the range strategy
+    }
+    assert go == {
+        "3": "Store:5",    # declared receiver, by name
+        "5": "Order:100",  # receiver wins over the enclosing span
+    }
+    assert kind("railsish", "parent") == {}  # no hook -> no rows
+
+
+def test_direct_class_calls_and_filter_by_implements(spark):
+    """direct_class_calls (ruby.rs:551-553; format.rs:758-764's
+    exactly-one gate) and filter_by_implements (rust.rs:351-353;
+    format.rs:59-78's first-match trait) as pack booleans."""
+    out = {
+        name: _spark_rows(spark, name, pack)
+        for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # exactly-one: the duplicated 'Dup' class and the unknown 'Ghost'
+    # both record nothing
+    assert kind("railsish", "classcall") == {
+        "0": "User->save",
+        "3": "Order->submit",
+    }
+    assert kind("goish", "classcall") == {}  # trait false default
+    # survivors carry the FIRST matching trait (ord 0 beats ord 1);
+    # classes without an implements row are filtered out — both Dup
+    # rows, Meta, Order
+    assert kind("rustish", "implements") == {
+        "0": "User impl Serializable",
+        "3": "Store impl Repository",
+    }
+    assert kind("javaish", "implements") == {}
+    # rustish keeps duplicate refs in one turn; javaish dedups the
+    # same extraction rule (the distinct flag is pack data)
+    rs = [r for r in out["rustish"] if r[1] == "extract" and r[2] == "7"]
+    jv = [r for r in out["javaish"] if r[1] == "extract" and r[2] == "7"]
+    assert len(rs) == 2 and len(jv) == 1
