@@ -1078,8 +1078,18 @@ def classify_test_sql(pack: dict, name_expr: str, dialect: str) -> str:
 
 def normalize_request_sql(pack: dict, path_expr: str, dialect: str) -> str:
     """The dialect's backend-path normalization — only the pack's
-    declared template styles rewrite to :param."""
-    return normalize_backend_path_sql(path_expr, dialect, styles=pack["request_styles"])
+    declared template styles rewrite to :param. The pseudo-style
+    'numseg' (a corpus that writes concrete numeric ids as its
+    template-var form, e.g. the transcriptish dialect) rewrites
+    `/123` segments first; it is a pre-rule rather than a
+    BACKEND_RULES_NAMED entry because its replacement keeps the
+    slash (extract.extract_requests applies the same spelling)."""
+    from ..functions.paths import _rr
+
+    styles = [s for s in pack["request_styles"] if s != "numseg"]
+    if "numseg" in pack["request_styles"]:
+        path_expr = _rr(path_expr, "/[0-9]+", "/:param", dialect)
+    return normalize_backend_path_sql(path_expr, dialect, styles=styles)
 
 
 def handler_pick_sql(pack: dict, dialect: str) -> str:

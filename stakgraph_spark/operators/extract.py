@@ -74,25 +74,37 @@ def extract_tool_calls(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def extract_requests(transcripts: DataFrame) -> DataFrame:
+def extract_requests(transcripts: DataFrame, pack: dict | None = None) -> DataFrame:
     """-> (conv_id, turn_idx, verb, path, norm_path), one row per
     request occurrence (multi-match: full-match extract_all, then
     verb/path split on the first space).
 
-    norm_path applies the FULL normalize_backend_path rewrite chain
-    (linker.rs:195-230, functions/paths.py) plus one corpus-specific
-    rule: this transcript corpus writes concrete numeric ids as its
-    template-var form, so `/123` segments also become `/:param`. The
-    result turns the reference's O(n*m) nested-loop request/endpoint
-    matching (linker.rs:151-159) into a partitioned equi-join on
-    (verb, norm_path); the concrete-vs-:param segment matching of
-    paths_match is exercised by the kg_paths_match planted-dim query.
+    norm_path applies the normalize_backend_path rewrite chain
+    (linker.rs:195-230, functions/paths.py). WHICH template-var
+    styles rewrite is dialect data: a pack's request_styles names the
+    BACKEND_RULES_NAMED subset its framework writes, plus the
+    pseudo-style 'numseg' for corpora that write concrete numeric ids
+    as their template-var form (`/123` -> `/:param` — the
+    transcriptish dialect's own style; the reference's linker has no
+    such rule, which is exactly why it belongs in pack data rather
+    than the engine). pack=None keeps the transcriptish default:
+    numseg + the full chain. The result turns the reference's O(n*m)
+    nested-loop request/endpoint matching (linker.rs:151-159) into a
+    partitioned equi-join on (verb, n_segments) with the paths_match
+    residual; concrete-vs-:param segment matching is exercised by the
+    kg_paths_match planted-dim query.
     """
     from ..functions.paths import normalize_backend_path_sql
 
-    norm = normalize_backend_path_sql(
-        f"regexp_replace(path, '{NUMSEG_RE}', '/:param')", "spark"
+    styles, numseg = None, True
+    if pack is not None and pack.get("request_styles") is not None:
+        st = list(pack["request_styles"])
+        numseg = "numseg" in st
+        styles = [s for s in st if s != "numseg"]
+    inner = (
+        f"regexp_replace(path, '{NUMSEG_RE}', '/:param')" if numseg else "path"
     )
+    norm = normalize_backend_path_sql(inner, "spark", styles=styles)
     # every "VERB /path" match contains ' /' — zero-alloc guard
     return transcripts.where(F.col("text").contains(" /")).selectExpr(
         "conv_id",

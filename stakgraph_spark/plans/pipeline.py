@@ -74,7 +74,7 @@ def build_graph(
     # (plans, not results — identical subplans are deduplicated by
     # Spark's ReusedExchange at execution time)
     first_def = X.first_test_defs(transcripts)
-    requests = X.extract_requests(transcripts)
+    requests = X.extract_requests(transcripts, pack)
     if persist_intermediates:
         resolved = resolved.persist()
         first_def = first_def.persist()

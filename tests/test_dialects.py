@@ -454,6 +454,52 @@ def test_pack_hooks_drive_the_real_corpus(spark, duck):
     spark.catalog.dropTempView("hc")
 
 
+def test_request_styles_drive_real_corpus_normalization(spark, duck):
+    """request_styles — including the 'numseg' pseudo-style (a corpus
+    that writes concrete numeric ids as its template-var form; the
+    transcriptish dialect's own style, deliberately pack data rather
+    than engine code) — drive extract_requests over the REAL sf
+    corpus, equal to the DuckDB rendering of the SAME pack via
+    normalize_request_sql."""
+    from stakgraph_spark.operators.extract import extract_requests
+    from stakgraph_spark.sources.transcripts import read_transcripts
+    from stakgraph_spark.sql import templates as T
+    from tests.conftest import SF_SMALL
+
+    tr = read_transcripts(spark, SF_SMALL)
+
+    def norms(pack):
+        df = extract_requests(tr, pack).select("verb", "path", "norm_path")
+        return {tuple(r) for r in df.collect()}
+
+    # a pack WITHOUT numseg keeps concrete ids: the same corpus rows
+    # normalize differently than the transcriptish default
+    angle = {"request_styles": ["angle"]}
+    got = norms(angle)
+    assert got and got != norms(None)
+    assert all("/:param" not in n for _v, _p, n in got)
+    # differential: oracle renders the SAME pack over its own
+    # requests derivation
+    want = set(
+        duck.execute(
+            T.q(
+                "SELECT verb, path,"
+                f" {D.normalize_request_sql(angle, 'path', 'duckdb')} AS n"
+                " FROM requests"
+            )
+        ).fetchall()
+    )
+    assert got == want
+    # numseg spelled AS A STYLE reproduces the default chain exactly
+    full = {
+        "request_styles": [
+            "numseg", "angle", "colon", "brace", "paren",
+            "brace_opt", "catchall", "bracket",
+        ]
+    }
+    assert norms(full) == norms(None)
+
+
 def test_pack_parameterized_build(spark, duck):
     """The PRODUCTION build accepts a dialect pack
     (plans/pipeline.py build_graph(pack=...)): test classification
@@ -479,8 +525,20 @@ def test_pack_parameterized_build(spark, duck):
     base = build_graph(spark, tr)
     packed = build_graph(spark, tr, pack=pack)
 
-    # 1. defaults-as-pack == packless, byte-for-byte
-    same = build_graph(spark, tr, pack={"test_classes": None, "handler_pick": "first"})
+    # 1. defaults-as-pack == packless, byte-for-byte (request_styles
+    # spelled out as the transcriptish default: numseg + full chain)
+    same = build_graph(
+        spark,
+        tr,
+        pack={
+            "test_classes": None,
+            "handler_pick": "first",
+            "request_styles": [
+                "numseg", "angle", "colon", "brace", "paren",
+                "brace_opt", "catchall", "bracket",
+            ],
+        },
+    )
     assert same["edges"].exceptAll(base["edges"]).isEmpty()
     assert base["edges"].exceptAll(same["edges"]).isEmpty()
 
