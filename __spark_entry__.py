@@ -331,7 +331,7 @@ def _q_ann_lsh_pairs(spark, sf_dir):
 
 def _q_dialects(spark, sf_dir):
     """Dialect packs (the Stack-trait hook surface as DATA): every
-    shipped pack's 25 hook kinds — request-normalize / classify_test /
+    shipped pack's 26 hook kinds — request-normalize / classify_test /
     handler_pick / should_not_include-file-stack / lib-manifest
     (get_libs) / import-resolve / clean_edges / assoc_name /
     is_component / endpoint-verb / is_test_file / dm-path-filter /

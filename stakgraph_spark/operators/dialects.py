@@ -135,6 +135,14 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   consumed at format.rs:59-78: a class survives ONLY
                   when an implements match names it, carrying the
                   FIRST matching trait
+  endpoint_group  endpoint_group_find (mod.rs:168-170 default None;
+                  go.rs:190-201 chi Mount registrations, java.rs:
+                  152-165 @RequestMapping class annotations) +
+                  process_endpoint_groups (array_graph.rs:187-217:
+                  the group's path is PREFIXED onto the names of the
+                  endpoints its handler defines) — as data: one
+                  two-capture regex (prefix, handler) over planted
+                  registration rows, joined to the endpoints dim
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -360,6 +368,9 @@ DIALECT_PACKS: dict[str, dict] = {
         # the same planted functions resolve differently than
         # flaskish's enclosing_range
         "parent_resolve": {"style": "receiver_type"},
+        # go.rs:190-201: chi router Mount("/prefix", Handlers) —
+        # captures (prefix, handler fn)
+        "endpoint_group": {"re": 'Mount[(]"([^"]+)", ([A-Za-z0-9_]+)[)]'},
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -478,6 +489,11 @@ DIALECT_PACKS: dict[str, dict] = {
         # stops where railsish's :: continues, so the same planted
         # declaration yields a different class name per pack
         "identifier": {"re": "class ([A-Za-z0-9_]+)"},
+        # java.rs:152-165: class-level @RequestMapping — the same
+        # planted registrations answer differently than goish's Mount
+        "endpoint_group": {
+            "re": 'RequestMapping[(]"([^"]+)"[)] class ([A-Za-z0-9_]+)',
+        },
     },
     # Drogon/Crow-ish C++: {param} templates; TEST_-macro naming;
     # the cpp.rs update_endpoint style (strip _METHOD, trim quotes,
@@ -883,6 +899,27 @@ IMPL_CASES: list[tuple[int, int, str, str]] = [
     (2, 2, "Store", "Repository"),
 ]
 
+# Planted group-registration lines, (gid, reg_text), for
+# endpoint_group: a chi Mount call, a class-level @RequestMapping,
+# and a non-registration line no pack may match.
+EPGROUP_CASES: list[tuple[int, str]] = [
+    (0, 'r.Mount("/tribes", TribesHandlers)'),
+    (1, '@RequestMapping("/api/v2") class OrderController {'),
+    (2, "plain text"),
+]
+
+# Planted endpoints with their defining handler, (geid, handler_fn,
+# ep_name): the group's path is prefixed onto the endpoints its
+# handler defines (array_graph.rs:210); endpoints of an unmatched
+# handler keep their names (emitted as no rows — the arm shows
+# REWRITES, following the absent-key = no-rows convention).
+GROUPEP_CASES: list[tuple[int, str, str]] = [
+    (0, "TribesHandlers", "/list"),
+    (1, "TribesHandlers", "/create"),
+    (2, "OrderController", "/orders"),
+    (3, "FreeHandler", "/misc"),
+]
+
 
 def dialect_cases_cte() -> str:
     from ..sources.entities import _union_all
@@ -1057,6 +1094,20 @@ def impl_cases_cte() -> str:
         IMPL_CASES,
         ["impid", "ord", "icls", "itrait"],
         ["INT", "INT", "STRING", "STRING"],
+    )
+
+
+def epgroup_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(EPGROUP_CASES, ["gid", "reg_text"], ["INT", "STRING"])
+
+
+def groupep_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        GROUPEP_CASES, ["geid", "handler_fn", "ep_name"], ["INT", "STRING", "STRING"]
     )
 
 
@@ -1605,6 +1656,27 @@ def implements_sql(dialect: str) -> str:
     )
 
 
+def endpoint_group_sql(pack: dict, dialect: str) -> str:
+    """endpoint_group_find + process_endpoint_groups as data
+    (mod.rs:168-170 default None; go.rs:190-201 chi Mount calls,
+    java.rs:152-165 class-level @RequestMapping; consumed at
+    array_graph.rs:187-217: for each matched (group path, handler),
+    the endpoints that handler defines get the group path PREFIXED
+    onto their names). The pack carries ONE two-capture regex —
+    group 1 the path, group 2 the handler — over the egc dim; the
+    rewrite is an equi-join onto the gep endpoints dim. Emits
+    (geid, rewritten_name) for rewritten endpoints only."""
+    rx = "regexp_like" if dialect == "spark" else "regexp_matches"
+    pat = _sq(pack["endpoint_group"]["re"])
+    return (
+        "SELECT geid, g.prefix || ep_name AS value FROM gep JOIN ("
+        f" SELECT regexp_extract(reg_text, {pat}, 1) AS prefix,"
+        f" regexp_extract(reg_text, {pat}, 2) AS handler"
+        f" FROM egc WHERE {rx}(reg_text, {pat})) g"
+        " ON gep.handler_fn = g.handler"
+    )
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -1763,6 +1835,12 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'implements', CAST(pcid AS STRING),"
             f" value FROM ({implements_sql(dialect)})"
         )
+    if pack.get("endpoint_group"):
+        # absent key = the trait's None default (mod.rs:168-170)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'epgroup', CAST(geid AS STRING),"
+            f" value FROM ({endpoint_group_sql(pack, dialect)})"
+        )
     return body
 
 
@@ -1779,7 +1857,8 @@ def _dims_with() -> str:
         f" cpc AS ({component_cases_cte()}), tplc AS ({template_cases_cte()}),"
         f" idc AS ({ident_cases_cte()}), pcc AS ({pclass_cases_cte()}),"
         f" pfc AS ({pfunc_cases_cte()}), occ AS ({callop_cases_cte()}),"
-        f" imc AS ({impl_cases_cte()}) "
+        f" imc AS ({impl_cases_cte()}), egc AS ({epgroup_cases_cte()}),"
+        f" gep AS ({groupep_cases_cte()}) "
     )
 
 

@@ -748,3 +748,25 @@ def test_direct_class_calls_and_filter_by_implements(spark):
     rs = [r for r in out["rustish"] if r[1] == "extract" and r[2] == "7"]
     jv = [r for r in out["javaish"] if r[1] == "extract" and r[2] == "7"]
     assert len(rs) == 2 and len(jv) == 1
+
+
+def test_endpoint_group_prefix_per_pack(spark):
+    """endpoint_group_find + process_endpoint_groups as pack data
+    (go.rs:190-201 Mount vs java.rs:152-165 @RequestMapping;
+    array_graph.rs:187-217's group-path prefix rewrite): the same
+    planted registrations drive different rewrites per pack, and
+    endpoints of unmatched handlers are untouched."""
+    out = {
+        name: _spark_rows(spark, name, pack)
+        for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    assert kind("goish", "epgroup") == {
+        "0": "/tribes/list",
+        "1": "/tribes/create",
+    }
+    assert kind("javaish", "epgroup") == {"2": "/api/v2/orders"}
+    assert kind("flaskish", "epgroup") == {}  # trait None default
