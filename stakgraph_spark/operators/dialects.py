@@ -144,6 +144,39 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   two-capture regex (prefix, handler) over planted
                   registration rows, joined to the endpoints dim
 
+  ep_parents      find_endpoint_parents (mod.rs:159-167 default
+                  empty; ruby.rs:419-464 walks up enclosing
+                  namespace/resources blocks, trim-quotes each
+                  route name, outermost first, and the names prefix
+                  the endpoint's path): as data — one single-capture
+                  regex over the endpoint's planted enclosing text;
+                  match order IS document order = outermost first,
+                  '/'-joined onto the endpoint name. Different packs
+                  recognize different block markers (railsish
+                  namespace/resources vs expressish router.use
+                  prefixes) on the same planted rows
+  is_test         is_test (mod.rs:177-179 default false; go.rs:282
+                  starts_with("Test") — so 'Tester' passes, the
+                  reference's own trap; python.rs:317 'test_';
+                  kotlin.rs:252 'test'; ruby.rs:250-252 DELEGATES to
+                  is_test_file): a named style — name_prefix with a
+                  case-sensitive prefix, or file_delegate reusing the
+                  pack's own test_file data
+  itest_edge      integration_test_edge_finder (mod.rs:231-238
+                  default None; ruby.rs:487-499 the one override:
+                  find_class(test.name) exact → a CALLS edge
+                  Test→Class): a flag; the interpreter equi-joins the
+                  planted integration-test names to the class dim
+  dm_within       use_data_model_within_finder /
+                  data_model_within_finder (mod.rs:119-128 default
+                  false/empty; ruby.rs:221-249 the one override: the
+                  functions in file {data_model_name(dm)}{suffix}
+                  each get a Function-CONTAINS->DataModel edge,
+                  CONTROLLER_FILE_SUFFIX ruby.rs:16): as data — the
+                  file suffix; candidates compose the pack's own
+                  data_model_name rules, matching the pipeline order
+                  (names are inflected before the within pass)
+
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
 Every interpreter renders dialect-portable SQL, so ONE pack
@@ -216,6 +249,9 @@ DIALECT_PACKS: dict[str, dict] = {
         # python.rs:105-133: walk up the tree to the innermost
         # enclosing class_definition — ranges, not receivers
         "parent_resolve": {"style": "enclosing_range"},
+        # python.rs:317-319: name starts with 'test_' (substr, so the
+        # underscore never wildcards)
+        "is_test": {"style": "name_prefix", "prefix": "test_"},
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -275,6 +311,10 @@ DIALECT_PACKS: dict[str, dict] = {
         "e2e_test_id": "getByTestId",
         # react.rs:599-604: everything outside __tests__ can route
         "router_file": {"not_contains": ["__tests__"]},
+        # express nested routers: router.use('/prefix', subrouter)
+        # registrations play the enclosing-block role — the SAME
+        # planted rows railsish reads for namespace/resources
+        "ep_parents": {"re": "use[(][\"']/([a-z0-9_]+)[\"']"},
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -371,6 +411,9 @@ DIALECT_PACKS: dict[str, dict] = {
         # go.rs:190-201: chi router Mount("/prefix", Handlers) —
         # captures (prefix, handler fn)
         "endpoint_group": {"re": 'Mount[(]"([^"]+)", ([A-Za-z0-9_]+)[)]'},
+        # go.rs:282-284: case-sensitive starts_with("Test") — takes
+        # 'Tester' too, deliberately
+        "is_test": {"style": "name_prefix", "prefix": "Test"},
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -439,6 +482,16 @@ DIALECT_PACKS: dict[str, dict] = {
         # operand names exactly one known class records a Class-level
         # call edge (format.rs:758-764)
         "direct_class_calls": True,
+        # ruby.rs:419-464: enclosing namespace/resources block names
+        # (the capture's character class IS the trim_quotes/colon
+        # step) prefix the endpoint path, outermost first
+        "ep_parents": {"re": "(?:namespace|resources) [\"':]([a-z_]+)"},
+        # ruby.rs:250-252: is_test delegates to is_test_file
+        "is_test": {"style": "file_delegate"},
+        # ruby.rs:487-499: integration test name → class, exact
+        "itest_edge": True,
+        # ruby.rs:221-249 + ruby.rs:16 CONTROLLER_FILE_SUFFIX
+        "dm_within": {"file_suffix": "_controller.rb"},
     },
     # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
     # the java.rs dotted-import rewrites (the one pack shipping the
@@ -876,6 +929,12 @@ PFUNC_CASES: list[tuple[int, str, str, int, str]] = [
     (3, "pkg/store.go", "Get", 120, "Store"),
     (4, "pkg/store.go", "helper", 20, ""),
     (5, "src/models.py", "load", 15, "Order"),
+    # controller-file functions for dm_within (ruby.rs:224-249);
+    # their files carry no pcc class span and no receiver, so they
+    # are invisible to every parent_resolve strategy
+    (6, "app/controllers/customers_controller.rb", "show", 210, ""),
+    (7, "app/controllers/customers_controller.rb", "index", 220, ""),
+    (8, "app/controllers/statuses_controller.rb", "update", 230, ""),
 ]
 
 # Planted call operands, (clid, operand, called), for
@@ -918,6 +977,43 @@ GROUPEP_CASES: list[tuple[int, str, str]] = [
     (1, "TribesHandlers", "/create"),
     (2, "OrderController", "/orders"),
     (3, "FreeHandler", "/misc"),
+]
+
+
+# Planted endpoints with their ENCLOSING-block text, (ppid,
+# enclosing, ep_name), for find_endpoint_parents: nested rails
+# namespace+resources blocks (outermost first in document order, as
+# the reference's reversed walk-up yields), a single resources block,
+# express router.use prefix registrations, and a marker-free row no
+# pack may rewrite (the arm emits REWRITES only).
+EPPARENT_CASES: list[tuple[int, str, str]] = [
+    (0, 'namespace "admin" do resources :users do', "/list"),
+    (1, "resources :orders do", "/show"),
+    (2, "router.use('/admin', adminRouter); router.use('/v2', api)", "/users"),
+    (3, "plain do", "/free"),
+]
+
+# Planted (function name, file) pairs for is_test: a Go Test-prefix
+# name in a _test.go file, a pytest-style name, a helper whose FILE
+# is a spec (only file-delegating packs claim it), 'Tester' (go.rs's
+# starts_with takes it — the reference's own trap), a kotlin-style
+# camelCase test name no shipped prefix matches, and a plain function.
+ISTEST_CASES: list[tuple[int, str, str]] = [
+    (0, "TestLogin", "pkg/auth_test.go"),
+    (1, "test_checkout", "tests/cart.py"),
+    (2, "helper", "spec/models/user_spec.rb"),
+    (3, "Tester", "src/main.go"),
+    (4, "testValue", "src/Main.kt"),
+    (5, "render", "src/app.py"),
+]
+
+# Planted integration-test names for integration_test_edge_finder:
+# two matching CLASS_CASES names exactly, one matching nothing
+# (ruby.rs:495-497: no class, no edge).
+ITEST_CASES: list[tuple[int, str]] = [
+    (0, "CustomerController"),
+    (1, "Helper"),
+    (2, "checkout_flow"),
 ]
 
 
@@ -1109,6 +1205,28 @@ def groupep_cases_cte() -> str:
     return _union_all(
         GROUPEP_CASES, ["geid", "handler_fn", "ep_name"], ["INT", "STRING", "STRING"]
     )
+
+
+def epparent_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        EPPARENT_CASES, ["ppid", "enclosing", "ep_name"], ["INT", "STRING", "STRING"]
+    )
+
+
+def istest_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        ISTEST_CASES, ["itid", "ifname", "iffile"], ["INT", "STRING", "STRING"]
+    )
+
+
+def itest_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(ITEST_CASES, ["itn_id", "itest_name"], ["INT", "STRING"])
 
 
 # ---------------------------------------------------------------------------
@@ -1677,6 +1795,81 @@ def endpoint_group_sql(pack: dict, dialect: str) -> str:
     )
 
 
+def ep_parents_sql(pack: dict, dialect: str) -> str:
+    """find_endpoint_parents as data (mod.rs:159-167 default empty;
+    ruby.rs:419-464: walk up enclosing namespace/resources blocks,
+    trim_quotes each route name, REVERSE so outermost comes first,
+    then the parent names prefix the endpoint's path). The pack
+    carries ONE single-capture regex over the planted enclosing text;
+    regexp_extract_all preserves document order, which IS
+    outermost-first (the planted text is written outer→inner, the
+    same order the reference's reversed walk-up produces), and the
+    capture group's character class does the quote/colon trimming.
+    Emits (ppid, '/'-joined parents prefixed onto ep_name) for
+    endpoints with ≥1 parent only — the no-parent row keeps its name
+    untouched upstream, following the rewrites-only convention."""
+    pat = _sq(pack["ep_parents"]["re"])
+    matches = f"regexp_extract_all(enclosing, {pat}, 1)"
+    if dialect == "spark":
+        joined, nonempty = f"array_join({matches}, '/')", f"size({matches}) > 0"
+    else:
+        joined = f"list_aggregate({matches}, 'string_agg', '/')"
+        nonempty = f"len({matches}) > 0"
+    return (
+        f"SELECT ppid, '/' || {joined} || ep_name AS value"
+        f" FROM eppc WHERE {nonempty}"
+    )
+
+
+def is_test_sql(pack: dict, name_expr: str, file_expr: str) -> str:
+    """is_test as data (mod.rs:177-179 default false): a named style.
+    'name_prefix' is the go.rs:282 / python.rs:317 / kotlin.rs:252
+    family — a CASE-SENSITIVE starts_with rendered via substr (so
+    go's 'Test' takes 'Tester', the reference's own behavior, and a
+    '_' in 'test_' never wildcards); 'file_delegate' is ruby.rs:
+    250-252, which answers with the pack's OWN is_test_file data."""
+    spec = pack["is_test"]
+    if spec["style"] == "name_prefix":
+        p = spec["prefix"]
+        return f"CAST(substr({name_expr}, 1, {len(p)}) = {_sq(p)} AS STRING)"
+    if spec["style"] != "file_delegate":
+        raise KeyError(f"unknown is_test style: {spec['style']}")
+    return test_file_sql(pack, file_expr)
+
+
+def itest_edge_sql() -> str:
+    """integration_test_edge_finder as data (mod.rs:231-238 default
+    None; ruby.rs:487-499 the one override: find_class(test.name)
+    exact-name → a CALLS edge Test→Class, tests whose name matches no
+    class emit nothing). A pure equi-join over the itn/kc dims —
+    =/|| only, one rendering serves both engines."""
+    return (
+        "SELECT itn_id, itest_name || ' CALLS Class:' || class_name AS value"
+        " FROM itn JOIN kc ON itest_name = class_name"
+    )
+
+
+def dm_within_sql(pack: dict, dialect: str) -> str:
+    """use_data_model_within_finder / data_model_within_finder as
+    data (mod.rs:119-128 defaults false/empty; ruby.rs:221-249 the
+    one override: every function in file {dm.name}{suffix} gets a
+    Function-CONTAINS->DataModel edge, CONTROLLER_FILE_SUFFIX
+    ruby.rs:16). The candidate file composes the pack's OWN
+    data_model_name rules first — in the reference pipeline the
+    Datamodel's name has already been inflected when the within pass
+    runs — then matches functions by an ends-with probe (the same
+    right() rendering component_template's page probe uses)."""
+    name = "dm_name"
+    if pack.get("data_model_name"):
+        name = data_model_name_sql(pack, "dm_name")
+    cand = f"{name} || {_sq(pack['dm_within']['file_suffix'])}"
+    return (
+        "SELECT CAST(did AS STRING) || ':' || CAST(pfid AS STRING) AS id,"
+        " fn_name || ' CONTAINS ' || dm_name AS value"
+        f" FROM dmc JOIN pfc ON right(fn_file, length({cand})) = {cand}"
+    )
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -1841,6 +2034,30 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'epgroup', CAST(geid AS STRING),"
             f" value FROM ({endpoint_group_sql(pack, dialect)})"
         )
+    if pack.get("ep_parents"):
+        # absent key = the trait's empty default (mod.rs:159-167)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'epparents', CAST(ppid AS STRING),"
+            f" value FROM ({ep_parents_sql(pack, dialect)})"
+        )
+    if pack.get("is_test"):
+        # absent key = the trait's constant-false default (mod.rs:177)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'istest', CAST(itid AS STRING),"
+            f" {is_test_sql(pack, 'ifname', 'iffile')} FROM itf"
+        )
+    if pack.get("itest_edge"):
+        # absent/false = the trait's None default (mod.rs:231-238)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'itedge', CAST(itn_id AS STRING),"
+            f" value FROM ({itest_edge_sql()})"
+        )
+    if pack.get("dm_within"):
+        # absent key = use_data_model_within_finder false (mod.rs:119)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'dmwithin', id,"
+            f" value FROM ({dm_within_sql(pack, dialect)})"
+        )
     return body
 
 
@@ -1858,7 +2075,8 @@ def _dims_with() -> str:
         f" idc AS ({ident_cases_cte()}), pcc AS ({pclass_cases_cte()}),"
         f" pfc AS ({pfunc_cases_cte()}), occ AS ({callop_cases_cte()}),"
         f" imc AS ({impl_cases_cte()}), egc AS ({epgroup_cases_cte()}),"
-        f" gep AS ({groupep_cases_cte()}) "
+        f" gep AS ({groupep_cases_cte()}), eppc AS ({epparent_cases_cte()}),"
+        f" itf AS ({istest_cases_cte()}), itn AS ({itest_cases_cte()}) "
     )
 
 

@@ -770,3 +770,55 @@ def test_endpoint_group_prefix_per_pack(spark):
     }
     assert kind("javaish", "epgroup") == {"2": "/api/v2/orders"}
     assert kind("flaskish", "epgroup") == {}  # trait None default
+
+
+def test_epparents_istest_itedge_dmwithin_hooks(spark):
+    """The round-4 hook batch: find_endpoint_parents (ruby.rs:419-464
+    nested-block prefixing, outermost first), is_test (go.rs:282
+    'Test' starts_with — 'Tester' passes — vs python.rs:317 'test_'
+    vs ruby.rs:250-252 file delegation), integration_test_edge_finder
+    (ruby.rs:487-499 exact-name Test→Class CALLS), and
+    data_model_within_finder (ruby.rs:221-249: functions in
+    {inflected dm name}_controller.rb CONTAIN the Datamodel) — each
+    as pack data over shared planted dims."""
+    out = {
+        name: _spark_rows(spark, name, pack)
+        for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # the SAME enclosing rows: railsish reads namespace/resources,
+    # expressish reads router.use prefixes, goish nothing (trait
+    # default); the marker-free row 3 is rewritten by nobody
+    assert kind("railsish", "epparents") == {
+        "0": "/admin/users/list",
+        "1": "/orders/show",
+    }
+    assert kind("expressish", "epparents") == {"2": "/admin/v2/users"}
+    assert kind("goish", "epparents") == {}
+
+    # goish: case-sensitive 'Test' prefix takes TestLogin AND Tester;
+    # flaskish: only test_checkout; railsish delegates to its
+    # _spec.rb file rule and claims only the helper IN a spec file
+    truthy = lambda d: {k for k, v in d.items() if v == "true"}
+    assert truthy(kind("goish", "istest")) == {"0", "3"}
+    assert truthy(kind("flaskish", "istest")) == {"1"}
+    assert truthy(kind("railsish", "istest")) == {"2"}
+
+    # itedge: exact-name class match or nothing (railsish only)
+    assert kind("railsish", "itedge") == {
+        "0": "CustomerController CALLS Class:CustomerController",
+        "1": "Helper CALLS Class:Helper",
+    }
+    assert kind("goish", "itedge") == {}
+
+    # dm_within composes railsish's OWN pluralize+lower dm-name rules
+    # (Customer→customers, Status→statuses) before the suffix probe
+    assert kind("railsish", "dmwithin") == {
+        "0:6": "show CONTAINS Customer",
+        "0:7": "index CONTAINS Customer",
+        "2:8": "update CONTAINS Status",
+    }
+    assert kind("flaskish", "dmwithin") == {}
