@@ -177,6 +177,41 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   data_model_name rules, matching the pipeline order
                   (names are inflected before the within pass)
 
+  islib           is_lib_file (mod.rs:61-63 default: an absolute
+                  path IS a library file; angular.rs:59-61 /
+                  react.rs:89-91 node_modules only;
+                  typescript.rs:37-43 the five-condition union): as
+                  data — OR'd starts_with / contains / suffix lists
+                  through the escaped-LIKE helper. Unlike the
+                  boolean-false-default hooks this one ALWAYS has
+                  behavior, so the arm renders for EVERY pack, packs
+                  without the key getting the trait's
+                  starts_with('/') default
+  troperand       find_trait_operand (mod.rs:143-152 default None;
+                  go.rs:228-246 the one override: LSP
+                  GotoImplementations → find_trait(line, file) → an
+                  OPERAND edge Trait→Function): a flag; the LSP
+                  round-trip is a planted dim (gic — the same
+                  stubbed-I/O treatment the lib-manifest lines get),
+                  the BEHAVIOR — the (line, file) trait lookup and
+                  the edge emission, nothing when the lookup misses —
+                  is the equi-join
+  xpfind          extra_page_finder (mod.rs:272-279 default None;
+                  react.rs:817-851: pages-dir route files RENDERS the
+                  file's default-export function, page-alone when
+                  none; ruby.rs:516-550: view templates resolve
+                  {parent_dir}_controller.rb first then the
+                  strip-'_mailer'+'_mailer.rb' fallback, NOTHING when
+                  no handler; angular.rs:253-294:
+                  {base}.component.{html,css,scss} pages pair to
+                  class {Base}Component in {base}.component.ts — the
+                  edge REVERSED, Class RENDERS Page, page-alone when
+                  the class is missing): a named style per pack, each
+                  composing the pack's OWN extra_page (is_extra_page)
+                  data as its gate exactly as the pipeline does; the
+                  default-export name is a planted dim column (in the
+                  reference it comes from code parsing)
+
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
 Every interpreter renders dialect-portable SQL, so ONE pack
@@ -315,6 +350,13 @@ DIALECT_PACKS: dict[str, dict] = {
         # registrations play the enclosing-block role — the SAME
         # planted rows railsish reads for namespace/resources
         "ep_parents": {"re": "use[(][\"']/([a-z0-9_]+)[\"']"},
+        # typescript.rs:37-43: the five-condition union — this pack
+        # carries the widest is_lib_file of the fleet
+        "lib_file": {
+            "starts_with": ["/usr"],
+            "contains": ["node_modules/", "/lib/", ".nvm/"],
+            "suffixes": [".d.ts"],
+        },
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -367,6 +409,11 @@ DIALECT_PACKS: dict[str, dict] = {
             "suffixes": ["/page.tsx", "/page.jsx"],
             "not_contains": ["/node_modules/", "/__tests__/"],
         },
+        # react.rs:89-91: node_modules only
+        "lib_file": {"contains": ["node_modules/"]},
+        # react.rs:817-851: the page RENDERS its file's
+        # default-export function, page-alone when none exports
+        "xpage_style": "default_export",
     },
     # Go/chi-ish: {param} templates only; table-driven *_test naming;
     # tool extraction DEDUPED per turn (the distinct flag is pack
@@ -414,6 +461,10 @@ DIALECT_PACKS: dict[str, dict] = {
         # go.rs:282-284: case-sensitive starts_with("Test") — takes
         # 'Tester' too, deliberately
         "is_test": {"style": "name_prefix", "prefix": "Test"},
+        # go.rs:228-246: the one find_trait_operand override — the
+        # GotoImplementations answer (a planted dim) looked up in the
+        # trait dim by (line, file), an OPERAND edge on a hit
+        "trait_operand": True,
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -492,6 +543,11 @@ DIALECT_PACKS: dict[str, dict] = {
         "itest_edge": True,
         # ruby.rs:221-249 + ruby.rs:16 CONTROLLER_FILE_SUFFIX
         "dm_within": {"file_suffix": "_controller.rb"},
+        # ruby.rs:516-550: a view template's handler is the function
+        # named after the file stem, looked up in
+        # {parent_dir}_controller.rb first, then the
+        # strip-'_mailer'+'_mailer.rb' fallback; NO page without one
+        "xpage_style": "controller_pair",
     },
     # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
     # the java.rs dotted-import rewrites (the one pack shipping the
@@ -611,6 +667,13 @@ DIALECT_PACKS: dict[str, dict] = {
         "identifier": {"re": "export class ([A-Za-z0-9_]+)"},
         # angular.rs:242-247: a bare extension list, no dir gate
         "extra_page": {"suffixes": [".html", ".css", ".scss"]},
+        # angular.rs:59-61: node_modules only (react's rule, a
+        # narrower answer than expressish's five-condition union)
+        "lib_file": {"contains": ["node_modules/"]},
+        # angular.rs:253-294: {base}.component.{html,css,scss} pages
+        # pair to class {Base}Component in {base}.component.ts — the
+        # edge REVERSED (Class RENDERS Page), page-alone on a miss
+        "xpage_style": "component_pair",
     },
     # Actix/axum-ish Rust: {param} templates; filter_by_implements
     # (rust.rs:351-353 — the one reference override) prunes classes
@@ -935,6 +998,13 @@ PFUNC_CASES: list[tuple[int, str, str, int, str]] = [
     (6, "app/controllers/customers_controller.rb", "show", 210, ""),
     (7, "app/controllers/customers_controller.rb", "index", 220, ""),
     (8, "app/controllers/statuses_controller.rb", "update", 230, ""),
+    # extra_page_finder handlers (react.rs:837-841 default-export
+    # lookup, ruby.rs:536-545 mailer fallback, angular.rs:285 the
+    # paired component class); like rows 6-8 these carry no pcc span
+    # and no receiver, so every parent_resolve strategy ignores them
+    (9, "web/src/app/billing/page.tsx", "BillingPage", 5, ""),
+    (10, "app/mailers/orders_mailer.rb", "receipt", 12, ""),
+    (11, "src/ui/hero-banner.component.ts", "HeroBannerComponent", 3, ""),
 ]
 
 # Planted call operands, (clid, operand, called), for
@@ -1014,6 +1084,57 @@ ITEST_CASES: list[tuple[int, str]] = [
     (0, "CustomerController"),
     (1, "Helper"),
     (2, "checkout_flow"),
+]
+
+# Planted file paths for is_lib_file, (lfid, lf_path): each row hits
+# a different branch of some pack's predicate — absolute under /usr
+# (default's starts_with('/') AND typescript's /usr arm AND its
+# /lib/ contains), node_modules, a /lib/ segment, a .d.ts suffix, an
+# absolute .nvm path, and a relative source file nobody claims.
+LIBF_CASES: list[tuple[int, str]] = [
+    (0, "/usr/lib/libssl.so"),
+    (1, "src/node_modules/lodash/index.js"),
+    (2, "app/lib/util.ts"),
+    (3, "types/global.d.ts"),
+    (4, "/home/dev/.nvm/versions/node.js"),
+    (5, "src/main.ts"),
+]
+
+# Planted GotoImplementations answers, (gid, g_fn, impl_line,
+# impl_file) — the go.rs:236-241 LSP round-trip stubbed as a dim (the
+# same treatment the lib-manifest lines get); row 1's position
+# matches no trait, so it must emit nothing (go.rs:243 falls through
+# to Ok(None)).
+GIMPL_CASES: list[tuple[int, str, int, str]] = [
+    (0, "Get", 40, "pkg/iface.go"),
+    (1, "helper", 99, "pkg/iface.go"),
+    (2, "load", 12, "src/traits.rs"),
+]
+
+# Planted traits keyed by declaration position, (trid, trait_name,
+# t_line, t_file) — the find_trait callback's lookup table
+# (go.rs:239: find_trait(imp.line, imp.file)).
+TRAITD_CASES: list[tuple[int, str, int, str]] = [
+    (0, "Store", 40, "pkg/iface.go"),
+    (1, "Loader", 12, "src/traits.rs"),
+]
+
+# Planted candidate extra-page files for extra_page_finder, (xid,
+# xfile, xexport): two Next.js app-router pages (one with a planted
+# default-export name, one without), three rails view templates (a
+# controller hit, a mailer-fallback hit, a no-handler row that must
+# vanish — ruby.rs:548), and two angular component assets (a paired
+# class, an orphan). Each pack's OWN extra_page gate selects its
+# rows, exactly as the pipeline calls the finder only on
+# is_extra_page files.
+XPAGE_CASES: list[tuple[int, str, str]] = [
+    (0, "web/src/app/billing/page.tsx", "BillingPage"),
+    (1, "web/src/app/docs/page.tsx", ""),
+    (2, "app/views/customers/show.html.erb", ""),
+    (3, "app/views/orders_mailer/receipt.html.erb", ""),
+    (4, "app/views/ghosts/nope.html.erb", ""),
+    (5, "src/ui/hero-banner.component.html", ""),
+    (6, "src/ui/orphan-widget.component.css", ""),
 ]
 
 
@@ -1227,6 +1348,40 @@ def itest_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(ITEST_CASES, ["itn_id", "itest_name"], ["INT", "STRING"])
+
+
+def libf_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(LIBF_CASES, ["lfid", "lf_path"], ["INT", "STRING"])
+
+
+def gimpl_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        GIMPL_CASES,
+        ["gid", "g_fn", "impl_line", "impl_file"],
+        ["INT", "STRING", "INT", "STRING"],
+    )
+
+
+def traitd_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        TRAITD_CASES,
+        ["trid", "trait_name", "t_line", "t_file"],
+        ["INT", "STRING", "INT", "STRING"],
+    )
+
+
+def xpage_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        XPAGE_CASES, ["xid", "xfile", "xexport"], ["INT", "STRING", "STRING"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1870,6 +2025,108 @@ def dm_within_sql(pack: dict, dialect: str) -> str:
     )
 
 
+def lib_file_sql(pack: dict, expr: str) -> str:
+    """is_lib_file as data (mod.rs:61-63 default: an absolute path IS
+    a library file; react.rs:89-91 / angular.rs:59-61 node_modules
+    only; typescript.rs:37-43 the five-condition union): OR'd
+    starts_with / contains / suffix lists through the escaped-LIKE
+    helper. Unlike the boolean-false-default hooks this one ALWAYS
+    has behavior — packs without the key get the trait's
+    starts_with('/') default, so the caller renders the arm for
+    EVERY pack."""
+    from .files import _any, _wild
+
+    spec = pack.get("lib_file") or {"starts_with": ["/"]}
+    arms = [_wild(expr, "", s, "%") for s in spec.get("starts_with", [])]
+    arms += [_wild(expr, "%", c, "%") for c in spec.get("contains", [])]
+    arms += [_wild(expr, "%", s, "") for s in spec.get("suffixes", [])]
+    return f"CAST({_any(arms)} AS STRING)"
+
+
+def trait_operand_sql() -> str:
+    """find_trait_operand as data (mod.rs:143-152 default None;
+    go.rs:228-246 the one override): the GotoImplementations answer
+    (the gic dim — the LSP round-trip stubbed as planted I/O, the
+    same treatment the lib-manifest lines get) looked up in the
+    trait dim by (line, file) (go.rs:239 find_trait), an OPERAND
+    edge Trait→Function on a hit, NOTHING on a miss (go.rs:243 falls
+    through to Ok(None)). A pure equi-join — =/|| only, one
+    rendering serves both engines."""
+    return (
+        "SELECT gid, trait_name || ' OPERAND ' || g_fn AS value"
+        " FROM gic JOIN trc ON impl_line = t_line AND impl_file = t_file"
+    )
+
+
+def xpage_find_sql(pack: dict, dialect: str) -> str:
+    """extra_page_finder as data (mod.rs:272-279 default None), a
+    named style per pack, each composing the pack's OWN extra_page
+    (is_extra_page) data as its gate — exactly as the pipeline calls
+    the finder only on files is_extra_page accepts:
+
+    - 'default_export' (react.rs:817-851): an app-router page
+      RENDERS its file's default-export function (the planted
+      xexport column — in the reference the name comes from code
+      parsing), page-alone when the file exports none;
+    - 'controller_pair' (ruby.rs:516-550): a view template's handler
+      is the function named after the file stem, looked up in
+      {parent_dir}_controller.rb first then the
+      strip-'_mailer'+'_mailer.rb' fallback, NOTHING without a
+      handler (ruby.rs:548) — rendered as two LEFT JOINs against the
+      pfc dim with a controller-first coalesce;
+    - 'component_pair' (angular.rs:253-294):
+      {base}.component.{html,css,scss} pages pair to class
+      {Base}Component declared in {base}.component.ts — the edge
+      REVERSED (Class RENDERS Page), page-alone on a miss.
+
+    Every rendering is regexp_extract / regexp_replace / right /
+    LIKE over character-class-only patterns (no backslashes), so one
+    literal parses identically under Spark and DuckDB string rules;
+    the one per-dialect spelling (PascalCase) reuses _pascal_sql."""
+    gate = extra_page_sql(pack, "xfile")
+    style = pack["xpage_style"]
+    if style == "default_export":
+        return (
+            "SELECT CAST(xid AS STRING) AS id, CASE WHEN xexport <> ''"
+            " THEN xfile || ' RENDERS ' || xexport ELSE xfile END AS value"
+            f" FROM xpc WHERE {gate}"
+        )
+    if style == "controller_pair":
+        pdir = "regexp_extract(xfile, '([^/]+)/[^/]+$', 1)"
+        stem = "regexp_extract(xfile, '/([^/.]+)[.][^/]*$', 1)"
+        strip = (
+            f"CASE WHEN right({pdir}, 7) = '_mailer'"
+            f" THEN substr({pdir}, 1, length({pdir}) - 7) ELSE {pdir} END"
+        )
+        return (
+            "SELECT CAST(x.xid AS STRING) AS id,"
+            " x.xfile || ' RENDERS ' || coalesce(c.fn_name, m.fn_name) AS value"
+            f" FROM (SELECT xid, xfile, {stem} AS stem,"
+            f" {pdir} || '_controller.rb' AS ccand,"
+            f" ({strip}) || '_mailer.rb' AS mcand FROM xpc WHERE {gate}) x"
+            " LEFT JOIN pfc c ON c.fn_name = x.stem"
+            " AND right(c.fn_file, length(x.ccand)) = x.ccand"
+            " LEFT JOIN pfc m ON m.fn_name = x.stem"
+            " AND right(m.fn_file, length(x.mcand)) = x.mcand"
+            " WHERE c.fn_name IS NOT NULL OR m.fn_name IS NOT NULL"
+        )
+    if style != "component_pair":
+        raise KeyError(f"unknown xpage_style: {style}")
+    base = "regexp_extract(xfile, '([^/]+)[.]component[.][a-z]+$', 1)"
+    klass = _pascal_sql(f"replace({base}, '-', '_')", dialect) + " || 'Component'"
+    tsfile = (
+        "regexp_replace(xfile, '[.]component[.](html|css|scss)$', '.component.ts')"
+    )
+    return (
+        "SELECT CAST(x.xid AS STRING) AS id,"
+        " CASE WHEN p.fn_name IS NOT NULL"
+        " THEN p.fn_name || ' RENDERS ' || x.xfile ELSE x.xfile END AS value"
+        f" FROM (SELECT xid, xfile, {tsfile} AS tsfile, {klass} AS klass"
+        f" FROM xpc WHERE {gate}) x"
+        " LEFT JOIN pfc p ON p.fn_file = x.tsfile AND p.fn_name = x.klass"
+    )
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -2058,6 +2315,25 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'dmwithin', id,"
             f" value FROM ({dm_within_sql(pack, dialect)})"
         )
+    # is_lib_file ALWAYS has behavior (mod.rs:61-63: absolute path =>
+    # library) — the arm renders for EVERY pack; absent key = the
+    # trait's starts_with('/') default, NOT no-rows
+    body += (
+        f" UNION ALL SELECT '{pack_name}', 'islib', CAST(lfid AS STRING),"
+        f" {lib_file_sql(pack, 'lf_path')} FROM lfc"
+    )
+    if pack.get("trait_operand"):
+        # absent/false = the trait's None default (mod.rs:143-152)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'troperand', CAST(gid AS STRING),"
+            f" value FROM ({trait_operand_sql()})"
+        )
+    if pack.get("xpage_style"):
+        # absent key = extra_page_finder None (mod.rs:272-279)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'xpfind', id,"
+            f" value FROM ({xpage_find_sql(pack, dialect)})"
+        )
     return body
 
 
@@ -2076,7 +2352,9 @@ def _dims_with() -> str:
         f" pfc AS ({pfunc_cases_cte()}), occ AS ({callop_cases_cte()}),"
         f" imc AS ({impl_cases_cte()}), egc AS ({epgroup_cases_cte()}),"
         f" gep AS ({groupep_cases_cte()}), eppc AS ({epparent_cases_cte()}),"
-        f" itf AS ({istest_cases_cte()}), itn AS ({itest_cases_cte()}) "
+        f" itf AS ({istest_cases_cte()}), itn AS ({itest_cases_cte()}),"
+        f" lfc AS ({libf_cases_cte()}), gic AS ({gimpl_cases_cte()}),"
+        f" trc AS ({traitd_cases_cte()}), xpc AS ({xpage_cases_cte()}) "
     )
 
 

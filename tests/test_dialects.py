@@ -822,3 +822,59 @@ def test_epparents_istest_itedge_dmwithin_hooks(spark):
         "2:8": "update CONTAINS Status",
     }
     assert kind("flaskish", "dmwithin") == {}
+
+
+def test_islib_troperand_xpfind_hooks_per_pack(spark):
+    """Round-4 widening, batch 8: is_lib_file (mod.rs:61-63 default /
+    typescript.rs:37-43 union / react.rs:89-91 node_modules-only),
+    find_trait_operand (go.rs:228-246), extra_page_finder's three
+    reference styles (react.rs:817-851 default-export,
+    ruby.rs:516-550 controller-then-mailer, angular.rs:253-294
+    reversed component pairing) as pack data."""
+    out = {
+        name: _spark_rows(spark, name, D.DIALECT_PACKS[name])
+        for name in ("flaskish", "expressish", "goish",
+                     "railsish", "nextish", "angularish")
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    truthy = lambda d: {k for k, v in d.items() if v == "true"}
+    # islib renders for EVERY pack: absent key = the trait's
+    # absolute-path default (flaskish takes /usr AND /home/.nvm);
+    # expressish's five-condition union takes everything but the
+    # relative source file; nextish's node_modules-only rule takes
+    # exactly one row — three different answers to the SAME six paths
+    assert truthy(kind("flaskish", "islib")) == {"0", "4"}
+    assert truthy(kind("expressish", "islib")) == {"0", "1", "2", "3", "4"}
+    assert truthy(kind("nextish", "islib")) == {"1"}
+
+    # troperand: the (line,file) trait lookup hits rows 0 and 2;
+    # row 1's position matches no trait and must emit nothing
+    # (go.rs:243 Ok(None)); packs without the flag emit no arm
+    assert kind("goish", "troperand") == {
+        "0": "Store OPERAND Get",
+        "2": "Loader OPERAND load",
+    }
+    assert kind("railsish", "troperand") == {}
+
+    # xpfind: nextish renders the default export, page-alone when the
+    # file exports none; railsish resolves the controller first, the
+    # mailer fallback second, and DROPS the handlerless view
+    # (ruby.rs:548); angularish emits the REVERSED edge and keeps the
+    # orphan page-alone. Each pack's own extra_page gate picks its
+    # rows, so the same seven planted files split three ways.
+    assert kind("nextish", "xpfind") == {
+        "0": "web/src/app/billing/page.tsx RENDERS BillingPage",
+        "1": "web/src/app/docs/page.tsx",
+    }
+    assert kind("railsish", "xpfind") == {
+        "2": "app/views/customers/show.html.erb RENDERS show",
+        "3": "app/views/orders_mailer/receipt.html.erb RENDERS receipt",
+    }
+    assert kind("angularish", "xpfind") == {
+        "5": "HeroBannerComponent RENDERS src/ui/hero-banner.component.html",
+        "6": "src/ui/orphan-widget.component.css",
+    }
+    assert kind("flaskish", "xpfind") == {}
