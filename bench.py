@@ -430,7 +430,36 @@ def main() -> None:
 
         shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
 
-    print(json.dumps(result))
+    # The driver's bench artifact keeps only the LAST ~2000 chars of
+    # stdout; round 4's protocol prose pushed the metric JSON's
+    # opening out of the captured tail (BENCH_r04.parsed == null).
+    # Print verbose context FIRST (protocol line + full record to
+    # BENCH_FULL.json), then ONE compact metric JSON line LAST, with
+    # a hard size check that drops diagnostics before ever clipping
+    # the headline numbers.
+    full_line = json.dumps(result)
+    scaling = result.get("scaling")
+    if scaling and scaling.get("protocol"):
+        print("scaling protocol:", scaling.pop("protocol"))
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+            f.write(full_line + "\n")
+        print("full record (incl. protocol + per-leg diagnostics): BENCH_FULL.json")
+    except OSError:
+        pass
+    line = json.dumps(result, separators=(",", ":"))
+    if scaling:
+        for k in (
+            "samples_normalized", "duel_jvm_ceilings", "duel_lo_build_sec",
+            "duel_hi_build_sec", "pair_legs_sec", "pair_ceilings",
+            "pair_jvm_ceilings", "pair_efficiencies_normalized",
+            f"local{SCALE_CORES[0]}", f"local{SCALE_CORES[1]}",
+        ):
+            if len(line) <= 1900:
+                break
+            scaling.pop(k, None)
+            line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

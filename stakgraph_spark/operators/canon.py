@@ -75,13 +75,17 @@ def _driver_union_find(ids: DataFrame, same_as: DataFrame) -> DataFrame:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
 
+    # BIGINT throughout: entity ids at 100x scale exceed 2^31, and an
+    # INT parent map would silently overflow (round-4 verdict).
     pmap = spark.createDataFrame(
         [(x, find(x)) for x in sorted(touched)] or [],
-        "entity_id INT, root_id INT",
+        "entity_id BIGINT, root_id BIGINT",
     )
-    return ids.join(F.broadcast(pmap), "entity_id", "left").select(
+    return ids.select(F.col("entity_id").cast("long").alias("entity_id")).join(
+        F.broadcast(pmap), "entity_id", "left"
+    ).select(
         "entity_id",
-        F.coalesce(F.col("root_id"), F.col("entity_id").cast("int")).alias("canon_id"),
+        F.coalesce(F.col("root_id"), F.col("entity_id")).alias("canon_id"),
     )
 
 
@@ -90,7 +94,8 @@ def _label_propagation(ids: DataFrame, same_as: DataFrame, max_iter: int) -> Dat
         same_as.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     labels = ids.select(
-        F.col("entity_id"), F.col("entity_id").cast("int").alias("canon_id")
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.col("entity_id").cast("long").alias("canon_id"),
     )
 
     for _ in range(max_iter):

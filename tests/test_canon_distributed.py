@@ -58,6 +58,24 @@ def test_driver_path_never_collects_ids(spark):
     assert out.count() == 50_000
 
 
+def test_canon_ids_beyond_int32(spark):
+    """Entity ids at 100x scale are BIGINT; both canonical_map paths
+    must carry ids > 2^31 without overflow (round-4 verdict: the
+    parent map and the label seed were INT-casted)."""
+    base = 2**31  # first id past int32
+    ids = [base + i for i in range(6)] + [5]
+    edges = [(base, base + 1), (base + 1, base + 2), (base + 4, 5)]
+    for thresh in (1_000_000, 0):  # union-find path, then label propagation
+        ids_df = spark.createDataFrame([(i,) for i in ids], "entity_id BIGINT")
+        e_df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+        out = canonical_map(ids_df, e_df, driver_threshold=thresh).toPandas()
+        assert str(out["canon_id"].dtype) == "int64"
+        m = dict(zip(out["entity_id"], out["canon_id"]))
+        assert m[base + 2] == base and m[base + 1] == base
+        assert m[base + 4] == 5 and m[5] == 5
+        assert m[base + 3] == base + 3  # untouched id maps to itself, unclipped
+
+
 def test_label_propagation_pointer_jumping_deep_chain(spark):
     """A chain of diameter 60 must converge well within 20 rounds:
     pointer jumping makes convergence O(log diameter) (plain
