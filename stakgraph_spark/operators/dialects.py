@@ -203,7 +203,7 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   {parent_dir}_controller.rb first then the
                   strip-'_mailer'+'_mailer.rb' fallback, NOTHING when
                   no handler; angular.rs:253-294:
-                  {base}.component.{html,css,scss} pages pair to
+                  {base}.component.{html,css,scss,sass} pages pair to
                   class {Base}Component in {base}.component.ts — the
                   edge REVERSED, Class RENDERS Page, page-alone when
                   the class is missing): a named style per pack, each
@@ -225,7 +225,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.paths import normalize_backend_path_sql
-from .extract import MENTION_RE, TESTREF_RE, TOOL_RE
+from .extract import MENTION_RE, NUMSEG_RE, TESTREF_RE, TOOL_RE
 
 # ---------------------------------------------------------------------------
 # The shipped dialect packs (seven "languages" with genuinely
@@ -666,13 +666,14 @@ DIALECT_PACKS: dict[str, dict] = {
         # export-prefixed declarations, unlike railsish/javaish
         "identifier": {"re": "export class ([A-Za-z0-9_]+)"},
         # angular.rs:242-247: a bare extension list, no dir gate
-        "extra_page": {"suffixes": [".html", ".css", ".scss"]},
+        "extra_page": {"suffixes": [".html", ".css", ".scss", ".sass"]},
         # angular.rs:59-61: node_modules only (react's rule, a
         # narrower answer than expressish's five-condition union)
         "lib_file": {"contains": ["node_modules/"]},
-        # angular.rs:253-294: {base}.component.{html,css,scss} pages
-        # pair to class {Base}Component in {base}.component.ts — the
-        # edge REVERSED (Class RENDERS Page), page-alone on a miss
+        # angular.rs:253-294: {base}.component.{html,css,scss,sass}
+        # pages pair to class {Base}Component in {base}.component.ts
+        # — the edge REVERSED (Class RENDERS Page), page-alone on a
+        # miss
         "xpage_style": "component_pair",
     },
     # Actix/axum-ish Rust: {param} templates; filter_by_implements
@@ -815,6 +816,7 @@ PAGE_CASES: list[tuple[int, str]] = [
     # only angularish's bare-extension rule (angular.rs:242-247)
     # takes a stylesheet, and it needs no /views/ or /app/ dir
     (7, "src/styles/theme.scss"),
+    (8, "src/styles/dark.sass"),
 ]
 
 # Planted class names for class_contains_datamodel: the DM_CASES
@@ -1005,6 +1007,7 @@ PFUNC_CASES: list[tuple[int, str, str, int, str]] = [
     (9, "web/src/app/billing/page.tsx", "BillingPage", 5, ""),
     (10, "app/mailers/orders_mailer.rb", "receipt", 12, ""),
     (11, "src/ui/hero-banner.component.ts", "HeroBannerComponent", 3, ""),
+    (12, "src/ui/side-nav.component.ts", "SideNavComponent", 4, ""),
 ]
 
 # Planted call operands, (clid, operand, called), for
@@ -1135,6 +1138,10 @@ XPAGE_CASES: list[tuple[int, str, str]] = [
     (4, "app/views/ghosts/nope.html.erb", ""),
     (5, "src/ui/hero-banner.component.html", ""),
     (6, "src/ui/orphan-widget.component.css", ""),
+    # a .sass component stylesheet (angular.rs:246,266): the gate
+    # must accept it and component_pair must rewrite it to its
+    # .component.ts class (round-4 ADVICE: it was silently dropped)
+    (7, "src/ui/side-nav.component.sass", ""),
 ]
 
 
@@ -1412,7 +1419,9 @@ def normalize_request_sql(pack: dict, path_expr: str, dialect: str) -> str:
 
     styles = [s for s in pack["request_styles"] if s != "numseg"]
     if "numseg" in pack["request_styles"]:
-        path_expr = _rr(path_expr, "/[0-9]+", "/:param", dialect)
+        # the single shared constant: extract.extract_requests applies
+        # the same spelling, and the two sites must never drift
+        path_expr = _rr(path_expr, NUMSEG_RE, "/:param", dialect)
     return normalize_backend_path_sql(path_expr, dialect, styles=styles)
 
 
@@ -2098,9 +2107,15 @@ def xpage_find_sql(pack: dict, dialect: str) -> str:
             f"CASE WHEN right({pdir}, 7) = '_mailer'"
             f" THEN substr({pdir}, 1, length({pdir}) - 7) ELSE {pdir} END"
         )
+        # GROUP BY xid + min() collapses to ONE row per candidate
+        # file: the reference's find_fn returns a single handler
+        # (first hit wins, controller before mailer — ruby.rs:536-545
+        # then :548), so a second pfc match (or a controller AND a
+        # mailer both matching) must not fan out duplicate rows.
         return (
             "SELECT CAST(x.xid AS STRING) AS id,"
-            " x.xfile || ' RENDERS ' || coalesce(c.fn_name, m.fn_name) AS value"
+            " min(x.xfile) || ' RENDERS '"
+            " || min(coalesce(c.fn_name, m.fn_name)) AS value"
             f" FROM (SELECT xid, xfile, {stem} AS stem,"
             f" {pdir} || '_controller.rb' AS ccand,"
             f" ({strip}) || '_mailer.rb' AS mcand FROM xpc WHERE {gate}) x"
@@ -2109,13 +2124,14 @@ def xpage_find_sql(pack: dict, dialect: str) -> str:
             " LEFT JOIN pfc m ON m.fn_name = x.stem"
             " AND right(m.fn_file, length(x.mcand)) = x.mcand"
             " WHERE c.fn_name IS NOT NULL OR m.fn_name IS NOT NULL"
+            " GROUP BY x.xid"
         )
     if style != "component_pair":
         raise KeyError(f"unknown xpage_style: {style}")
     base = "regexp_extract(xfile, '([^/]+)[.]component[.][a-z]+$', 1)"
     klass = _pascal_sql(f"replace({base}, '-', '_')", dialect) + " || 'Component'"
     tsfile = (
-        "regexp_replace(xfile, '[.]component[.](html|css|scss)$', '.component.ts')"
+        "regexp_replace(xfile, '[.]component[.](html|css|scss|sass)$', '.component.ts')"
     )
     return (
         "SELECT CAST(x.xid AS STRING) AS id,"

@@ -675,6 +675,7 @@ def test_component_template_hooks(spark):
     # a stylesheet with no dir gate, where railsish needs /views/
     xp = {r[2]: r[3] for r in out if r[1] == "xpage"}
     assert xp["7"] == "src/styles/theme.scss"
+    assert xp["8"] == "src/styles/dark.sass"  # angular.rs:246
 
 
 def test_identifier_and_parent_resolve_differ_per_pack(spark):
@@ -876,5 +877,8 @@ def test_islib_troperand_xpfind_hooks_per_pack(spark):
     assert kind("angularish", "xpfind") == {
         "5": "HeroBannerComponent RENDERS src/ui/hero-banner.component.html",
         "6": "src/ui/orphan-widget.component.css",
+        # .sass stylesheet pairs like any other component asset
+        # (angular.rs:246,266 — round-4 ADVICE fix)
+        "7": "SideNavComponent RENDERS src/ui/side-nav.component.sass",
     }
     assert kind("flaskish", "xpfind") == {}
