@@ -287,6 +287,12 @@ DIALECT_PACKS: dict[str, dict] = {
         # python.rs:317-319: name starts with 'test_' (substr, so the
         # underscore never wildcards)
         "is_test": {"style": "name_prefix", "prefix": "test_"},
+        # python.rs:133-144: a method call captures a
+        # SINGLE-identifier receiver only ((attribute object:
+        # (identifier)) @OPERAND); dotted receivers and call-result
+        # receivers do not match the query at all
+        "call_operand": {"bare": "emit", "simple": "emit",
+                         "dotted": "drop", "callres": "drop", "scoped": "drop"},
     },
     # Express/Rails-ish: :param and (param) templates; *_spec naming;
     # LAST registered route wins (Express later-middleware shadowing).
@@ -357,6 +363,14 @@ DIALECT_PACKS: dict[str, dict] = {
             "contains": ["node_modules/", "/lib/", ".nvm/"],
             "suffixes": [".d.ts"],
         },
+        # react.rs:518-543: member_expression's object is a bare
+        # identifier — deeper chains fall out of the query entirely
+        "call_operand": {"bare": "emit", "simple": "emit",
+                         "dotted": "drop", "callres": "drop", "scoped": "drop"},
+        # react.rs:994-1029 page_name: app-router pages take the
+        # parent DIRECTORY name, pages-router pages the stem with
+        # index collapsing, anything else the 'page' fallback
+        "page_name": "react_router",
     },
     # Next.js/Go-ish: [param] / [...catchall] / {param} templates;
     # anything not explicitly e2e is an integration test.
@@ -414,6 +428,9 @@ DIALECT_PACKS: dict[str, dict] = {
         # react.rs:817-851: the page RENDERS its file's
         # default-export function, page-alone when none exports
         "xpage_style": "default_export",
+        # react.rs:994-1029 (shared with expressish — the reference
+        # ships ONE react.rs for both router generations)
+        "page_name": "react_router",
     },
     # Go/chi-ish: {param} templates only; table-driven *_test naming;
     # tool extraction DEDUPED per turn (the distinct flag is pack
@@ -465,6 +482,17 @@ DIALECT_PACKS: dict[str, dict] = {
         # GotoImplementations answer (a planted dim) looked up in the
         # trait dim by (line, file), an OPERAND edge on a hit
         "trait_operand": True,
+        # go.rs:140-157: a selector operand may itself be a
+        # selector_expression (captured WHOLE — 'a.b'), while a
+        # call-expression receiver matches but is NOT bound: the row
+        # emits with no operand
+        "call_operand": {"bare": "emit", "simple": "emit",
+                         "dotted": "emit", "callres": "anon", "scoped": "drop"},
+        # the dm-within variant beyond railsish's shipped default —
+        # the finder is trait data (mod.rs:122-128), so a pack may
+        # name the containing file any way it likes: snake_cased
+        # model name + '_store.go'
+        "dm_within": {"file_suffix": "_store.go", "name_op": "snake"},
     },
     # Rails-ish: :param only; rspec naming; mention extraction NOT
     # deduped (flaskish dedups — same rule, different consumer
@@ -548,6 +576,14 @@ DIALECT_PACKS: dict[str, dict] = {
         # {parent_dir}_controller.rb first, then the
         # strip-'_mailer'+'_mailer.rb' fallback; NO page without one
         "xpage_style": "controller_pair",
+        # ruby.rs:137-149: a receiver is REQUIRED (identifier,
+        # constant or call — all bound to @OPERAND), so bare calls
+        # never match and a call-result receiver is captured as text
+        "call_operand": {"bare": "drop", "simple": "emit",
+                         "dotted": "emit", "callres": "emit", "scoped": "drop"},
+        # builder/utils.rs:31-37 get_page_name: the last path
+        # segment, extension kept
+        "page_name": "last_segment",
     },
     # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
     # the java.rs dotted-import rewrites (the one pack shipping the
@@ -603,6 +639,11 @@ DIALECT_PACKS: dict[str, dict] = {
         "endpoint_group": {
             "re": 'RequestMapping[(]"([^"]+)"[)] class ([A-Za-z0-9_]+)',
         },
+        # java.rs:120-134: object: (_)? — ANY receiver node is
+        # captured when present (wildcard, not identifier), and bare
+        # invocations match too: the widest convention of the fleet
+        "call_operand": {"bare": "emit", "simple": "emit",
+                         "dotted": "emit", "callres": "emit", "scoped": "drop"},
     },
     # Drogon/Crow-ish C++: {param} templates; TEST_-macro naming;
     # the cpp.rs update_endpoint style (strip _METHOD, trim quotes,
@@ -630,6 +671,12 @@ DIALECT_PACKS: dict[str, dict] = {
         },
         # quoted #include-style specs lose their quotes; names as-is
         "import_resolve": {"path_ops": ["strip_quotes"], "name_op": "identity"},
+        # cpp.rs:173-197: field argument is a bare identifier; a
+        # namespace-qualified call matches with the scope bound to a
+        # capture format_function_call never reads (@namespace, not
+        # @OPERAND) — the row emits nameless
+        "call_operand": {"bare": "emit", "simple": "emit",
+                         "dotted": "drop", "callres": "drop", "scoped": "anon"},
     },
     # Angular-ish: the component-template finder family as data —
     # @Component decorator keys, .component.ts files, .html pages
@@ -675,6 +722,9 @@ DIALECT_PACKS: dict[str, dict] = {
         # — the edge REVERSED (Class RENDERS Page), page-alone on a
         # miss
         "xpage_style": "component_pair",
+        # angular.rs:270: the page node is named by the file's
+        # basename (NodeData::name_file), extension kept
+        "page_name": "last_segment",
     },
     # Actix/axum-ish Rust: {param} templates; filter_by_implements
     # (rust.rs:351-353 — the one reference override) prunes classes
@@ -695,6 +745,12 @@ DIALECT_PACKS: dict[str, dict] = {
             "line_re": '^([a-z0-9_-]+) = "([0-9][0-9.]*)"$',
         },
         "filter_by_implements": True,
+        # rust.rs:190-211: field_expression binds ONLY the field name
+        # (every method call emits operand-less) while
+        # scoped_identifier binds the module path — the reverse of
+        # go's convention on the same planted call sites
+        "call_operand": {"bare": "emit", "simple": "anon",
+                         "dotted": "anon", "callres": "anon", "scoped": "emit"},
     },
 }
 
@@ -817,6 +873,11 @@ PAGE_CASES: list[tuple[int, str]] = [
     # takes a stylesheet, and it needs no /views/ or /app/ dir
     (7, "src/styles/theme.scss"),
     (8, "src/styles/dark.sass"),
+    # pages-router index collapsing for the page_name hook
+    # (react.rs:1016-1023): a dir index names the dir, the root
+    # index names 'index'
+    (9, "src/pages/docs/index.tsx"),
+    (10, "src/pages/index.tsx"),
 ]
 
 # Planted class names for class_contains_datamodel: the DM_CASES
@@ -1008,6 +1069,8 @@ PFUNC_CASES: list[tuple[int, str, str, int, str]] = [
     (10, "app/mailers/orders_mailer.rb", "receipt", 12, ""),
     (11, "src/ui/hero-banner.component.ts", "HeroBannerComponent", 3, ""),
     (12, "src/ui/side-nav.component.ts", "SideNavComponent", 4, ""),
+    # goish's dm_within variant target: snake(Customer)+'_store.go'
+    (13, "internal/customer_store.go", "SaveCustomer", 8, ""),
 ]
 
 # Planted call operands, (clid, operand, called), for
@@ -1130,6 +1193,20 @@ TRAITD_CASES: list[tuple[int, str, int, str]] = [
 # class, an orphan). Each pack's OWN extra_page gate selects its
 # rows, exactly as the pipeline calls the finder only on
 # is_extra_page files.
+# Planted call sites, (cxid, calltext), one per receiver SHAPE, for
+# the call_operand hook (the operand-emission convention of each
+# language's function_call_query): a bare call, a single-identifier
+# receiver, a dotted receiver chain, a call-result receiver, and a
+# module-scoped call. Every pack answers each shape with emit (row
+# with operand), anon (row without), or drop (no row).
+CALLX_CASES: list[tuple[int, str]] = [
+    (0, "save()"),
+    (1, "db.save()"),
+    (2, "a.b.save()"),
+    (3, "fetch().save()"),
+    (4, "Mod::save()"),
+]
+
 XPAGE_CASES: list[tuple[int, str, str]] = [
     (0, "web/src/app/billing/page.tsx", "BillingPage"),
     (1, "web/src/app/docs/page.tsx", ""),
@@ -1389,6 +1466,12 @@ def xpage_cases_cte() -> str:
     return _union_all(
         XPAGE_CASES, ["xid", "xfile", "xexport"], ["INT", "STRING", "STRING"]
     )
+
+
+def callx_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(CALLX_CASES, ["cxid", "calltext"], ["INT", "STRING"])
 
 
 # ---------------------------------------------------------------------------
@@ -2026,6 +2109,11 @@ def dm_within_sql(pack: dict, dialect: str) -> str:
     name = "dm_name"
     if pack.get("data_model_name"):
         name = data_model_name_sql(pack, "dm_name")
+    # the pack may additionally re-case the (possibly inflected) name
+    # before composing the file — goish's snake_case store-file
+    # variant vs railsish's as-is controller suffix
+    if pack["dm_within"].get("name_op") == "snake":
+        name = _snake_sql(name, dialect)
     cand = f"{name} || {_sq(pack['dm_within']['file_suffix'])}"
     return (
         "SELECT CAST(did AS STRING) || ':' || CAST(pfid AS STRING) AS id,"
@@ -2140,6 +2228,99 @@ def xpage_find_sql(pack: dict, dialect: str) -> str:
         f" FROM (SELECT xid, xfile, {tsfile} AS tsfile, {klass} AS klass"
         f" FROM xpc WHERE {gate}) x"
         " LEFT JOIN pfc p ON p.fn_file = x.tsfile AND p.fn_name = x.klass"
+    )
+
+
+def _snake_sql(expr: str, dialect: str) -> str:
+    """snake_case: an underscore before every lower-to-upper boundary,
+    then lowercase — the one rendering needing a per-dialect group-ref
+    spelling (Spark $1, DuckDB backslash-1 + explicit 'g')."""
+    ref = "\\1_\\2" if dialect == "duckdb" else "$1_$2"
+    flag = ", 'g'" if dialect == "duckdb" else ""
+    return f"lower(regexp_replace({expr}, '([a-z0-9])([A-Z])', '{ref}'{flag}))"
+
+
+def page_name_sql(pack: dict, expr: str) -> str:
+    """The page-NAME extraction style as data, completing the
+    extra_page family (the gate is extra_page, the finder is
+    xpage_style, the node NAME is this hook):
+
+    - 'last_segment' (builder/utils.rs:31-37 get_page_name;
+      angular.rs:270 NodeData::name_file): the last path segment,
+      extension kept;
+    - 'react_router' (react.rs:994-1029 page_name): app-router pages
+      take the parent DIRECTORY name; pages-router pages strip the
+      script extension then collapse index ('' or 'index' -> 'index',
+      'dir/index' -> 'dir', else the last segment); anything else
+      falls back to 'page'. Total on any path, like the reference.
+
+    Absent key = page_query None (mod.rs:242-244): no page names."""
+    style = pack["page_name"]
+    last = f"regexp_extract({expr}, '([^/]+)$', 1)"
+    if style == "last_segment":
+        return last
+    if style != "react_router":
+        raise KeyError(f"unknown page_name style: {style}")
+    parent = f"regexp_extract({expr}, '([^/]+)/[^/]+$', 1)"
+    after = f"regexp_extract({expr}, '/pages/(.*)$', 1)"
+    stem = f"regexp_replace({after}, '[.](tsx|jsx|js|ts)$', '')"
+    return (
+        f"CASE WHEN {expr} LIKE '%/app/%' THEN {parent}"
+        f" WHEN {expr} LIKE '%/pages/%' THEN"
+        f" CASE WHEN {stem} IN ('index', '') THEN 'index'"
+        f" WHEN {stem} LIKE '%/index'"
+        f" THEN regexp_extract({stem}, '([^/]+)/index$', 1)"
+        f" ELSE regexp_extract({stem}, '([^/]+)$', 1) END"
+        f" ELSE 'page' END"
+    )
+
+
+def call_operand_sql(pack: dict) -> str:
+    """The operand-emission convention of the pack's
+    function_call_query as data (format.rs:750-765 reads ONLY the
+    @OPERAND capture; what each grammar binds to it differs —
+    python.rs:133-144 single-identifier receivers only,
+    go.rs:140-157 whole selector chains but unbound call receivers,
+    ruby.rs:137-149 receiver REQUIRED, java.rs:120-134 any node,
+    rust.rs:190-211 operand-less method calls + bound module paths,
+    cpp.rs:173-197 namespace bound to a non-OPERAND capture).
+
+    Each planted call site is classified into a receiver SHAPE
+    (bare / simple / dotted / callres / scoped) by fixed SQL; the
+    pack's convention maps shapes to emit (operand || ' OPERAND ' ||
+    name), anon (name only — matched but unbound), or drop (the
+    query pattern does not match: no row). One rendering parses
+    under both dialects (character-class regexps only)."""
+    spec = pack["call_operand"]
+    shape = (
+        "CASE WHEN calltext LIKE '%::%' THEN 'scoped'"
+        " WHEN calltext LIKE '%).%' THEN 'callres'"
+        " WHEN calltext LIKE '%.%.%' THEN 'dotted'"
+        " WHEN calltext LIKE '%.%' THEN 'simple'"
+        " ELSE 'bare' END"
+    )
+    fname = "regexp_extract(calltext, '([A-Za-z_][A-Za-z0-9_]*)[(][)]$', 1)"
+    strip_tail = (
+        "regexp_replace(calltext, '[.][A-Za-z_][A-Za-z0-9_]*[(][)]$', '')"
+    )
+    scoped_op = "regexp_extract(calltext, '^([A-Za-z_][A-Za-z0-9_]*)::', 1)"
+    conv = (
+        f"CASE shape WHEN 'bare' THEN '{spec['bare']}'"
+        f" WHEN 'simple' THEN '{spec['simple']}'"
+        f" WHEN 'dotted' THEN '{spec['dotted']}'"
+        f" WHEN 'callres' THEN '{spec['callres']}'"
+        f" ELSE '{spec['scoped']}' END"
+    )
+    return (
+        "SELECT CAST(cxid AS STRING) AS id,"
+        " CASE WHEN conv = 'emit' AND opnd <> ''"
+        " THEN opnd || ' OPERAND ' || fname ELSE fname END AS value"
+        f" FROM (SELECT cxid, fname, opnd, {conv} AS conv FROM"
+        f" (SELECT cxid, {shape} AS shape, {fname} AS fname,"
+        f" CASE WHEN calltext LIKE '%::%' THEN {scoped_op}"
+        f" WHEN calltext LIKE '%.%' THEN {strip_tail}"
+        f" ELSE '' END AS opnd FROM cxc) s) t"
+        " WHERE conv <> 'drop'"
     )
 
 
@@ -2350,6 +2531,20 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'xpfind', id,"
             f" value FROM ({xpage_find_sql(pack, dialect)})"
         )
+    if pack.get("page_name"):
+        # absent key = page_query None (mod.rs:242-244). The NAME
+        # rule is total over any path (react.rs:994 falls back to
+        # 'page'), so the arm runs on every planted page file, not
+        # just the pack's extra_page survivors.
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'pgname', CAST(pgid AS STRING),"
+            f" {page_name_sql(pack, 'page_file')} FROM pgc"
+        )
+    if pack.get("call_operand"):
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'opconv', id,"
+            f" value FROM ({call_operand_sql(pack)})"
+        )
     return body
 
 
@@ -2370,7 +2565,8 @@ def _dims_with() -> str:
         f" gep AS ({groupep_cases_cte()}), eppc AS ({epparent_cases_cte()}),"
         f" itf AS ({istest_cases_cte()}), itn AS ({itest_cases_cte()}),"
         f" lfc AS ({libf_cases_cte()}), gic AS ({gimpl_cases_cte()}),"
-        f" trc AS ({traitd_cases_cte()}), xpc AS ({xpage_cases_cte()}) "
+        f" trc AS ({traitd_cases_cte()}), xpc AS ({xpage_cases_cte()}),"
+        f" cxc AS ({callx_cases_cte()}) "
     )
 
 

@@ -882,3 +882,71 @@ def test_islib_troperand_xpfind_hooks_per_pack(spark):
         "7": "SideNavComponent RENDERS src/ui/side-nav.component.sass",
     }
     assert kind("flaskish", "xpfind") == {}
+
+
+def test_pgname_opconv_dmvariant_hooks_per_pack(spark):
+    """The round-5 hook batch: page_name styles (react.rs:994-1029
+    app-dir/pages-stem/fallback vs builder/utils.rs:31-37 +
+    angular.rs:270 last segment), the function_call_query
+    operand-emission convention (format.rs:750-765 reads only
+    @OPERAND; what each grammar binds differs — python.rs:133,
+    go.rs:140, ruby.rs:137, java.rs:120, rust.rs:190, cpp.rs:173),
+    and the goish dm_within store-file variant — all pack data over
+    shared planted dims."""
+    out = {
+        name: _spark_rows(spark, name, pack)
+        for name, pack in D.DIALECT_PACKS.items()
+    }
+
+    def kind(name, k):
+        return {r[2]: r[3] for r in out[name] if r[1] == k}
+
+    # page_name: the SAME planted files — nextish names app-router
+    # pages by parent dir and collapses pages-router index files;
+    # railsish/angularish keep the basename; flaskish has no
+    # page_query (mod.rs:242-244)
+    nx = kind("nextish", "pgname")
+    assert nx["2"] == "items" and nx["3"] == "__tests__" and nx["4"] == "app"
+    assert nx["6"] == "about" and nx["9"] == "docs" and nx["10"] == "index"
+    assert nx["0"] == "page"  # rails view: react's fallback
+    rb = kind("railsish", "pgname")
+    assert rb["0"] == "index.html.erb" and rb["9"] == "index.tsx"
+    assert kind("angularish", "pgname")["7"] == "theme.scss"
+    assert kind("flaskish", "pgname") == {}
+
+    # opconv: five packs, five answers on the same five call sites
+    assert kind("flaskish", "opconv") == {"0": "save", "1": "db OPERAND save"}
+    assert kind("goish", "opconv") == {
+        "0": "save",
+        "1": "db OPERAND save",
+        "2": "a.b OPERAND save",   # whole selector chain captured
+        "3": "save",               # call receiver matches, unbound
+    }
+    assert kind("railsish", "opconv") == {
+        "1": "db OPERAND save",        # bare call: NO match (receiver required)
+        "2": "a.b OPERAND save",
+        "3": "fetch() OPERAND save",   # call receiver captured as text
+    }
+    assert kind("javaish", "opconv") == {
+        "0": "save",
+        "1": "db OPERAND save",
+        "2": "a.b OPERAND save",
+        "3": "fetch() OPERAND save",
+    }
+    assert kind("rustish", "opconv") == {
+        "0": "save",
+        "1": "save",                # field_expression binds only the field
+        "2": "save",
+        "3": "save",
+        "4": "Mod OPERAND save",    # scoped_identifier binds the module path
+    }
+    assert kind("cppish", "opconv") == {
+        "0": "save",
+        "1": "db OPERAND save",
+        "4": "save",                # namespace bound to a non-OPERAND capture
+    }
+    assert kind("angularish", "opconv") == {}
+
+    # the goish dm_within variant: snake(Customer)+'_store.go' finds
+    # SaveCustomer; railsish's controller suffix is untouched by it
+    assert kind("goish", "dmwithin") == {"0:13": "SaveCustomer CONTAINS Customer"}
