@@ -27,6 +27,8 @@ Env knobs:
   SPARK_GRAFT_SCALE_CORES   "N,4N" pair     (default "1,4")
   SPARK_GRAFT_SCALE_TRIALS  duels (or sequential pairs)  (default 3)
   SPARK_GRAFT_SCALE_WINDOW  duel window seconds (default 480)
+  SPARK_GRAFT_SKEW          1/0 skew-torture leg (default 1)
+  SPARK_GRAFT_SKEW_EVENTS   skew corpus size (default 1_000_000)
 """
 
 from __future__ import annotations
@@ -75,6 +77,11 @@ SCALE_PROTO = os.environ.get("SPARK_GRAFT_SCALE_PROTO", "duel")
 # read+persist) amortizes over 3x the samples, and the later builds
 # are pure steady state on both legs.
 SCALE_WINDOW = float(os.environ.get("SPARK_GRAFT_SCALE_WINDOW", "480"))
+# Skew-torture leg (north-rule explicit-skew evidence at volume):
+# time the skew-facing stages on the production Zipf corpus vs a
+# uniform control of the same size. Cheap (~1-2 min in the main JVM).
+DO_SKEW = os.environ.get("SPARK_GRAFT_SKEW", "1") == "1"
+SKEW_EVENTS = int(os.environ.get("SPARK_GRAFT_SKEW_EVENTS", "1000000"))
 
 
 def _burn(barrier, q, cpus, iters):
@@ -246,6 +253,119 @@ def _duel_scaling(corpus: str, lo: int, hi: int) -> dict:
     return scaling
 
 
+def _skew_torture(spark) -> dict:
+    """Hot-key torture at bench volume (north rule: explicit skew
+    handling, evidenced by measurement not construction).
+
+    The production corpus already plants a Zipf head (ONE entity on
+    ~40% of mention turns, split over its 3 aliases — reported as
+    production_top_surface_share). For an unambiguous single-hot-KEY
+    measurement this leg builds two mention sets from the same raw
+    extraction: a UNIFORM control (surfaces remapped evenly over the
+    20 alias_idx-0 dictionary names) and a TORTURE set with 40% of
+    rows on ONE name (twice the >=20% bar the round-4 verdict set),
+    then times the two skew-facing stages — the mention resolution
+    join (link.link_mentions) and the per-entity rollup
+    (materialize.uses_by_entity) — end-to-end on each, same JVM,
+    same cores, interleaved hot/uniform/hot/uniform so host drift
+    cannot masquerade as skew cost. PASS = hot within 2x of uniform.
+    Why it holds by design: the dictionary join is broadcast (no
+    shuffle key to skew) and the rollup pre-aggregates per
+    (conv_id, entity) before the global key — the hot entity
+    contributes one partial row per conversation, not one per
+    mention. The explicit salting primitive (skew.salted_count) is
+    also exercised on the torture volume vs its unsalted shape.
+    """
+    from pyspark.sql import functions as F
+
+    from stakgraph_spark.operators.extract import extract_mentions
+    from stakgraph_spark.operators.link import link_mentions
+    from stakgraph_spark.operators.materialize import entity_nodes, uses_by_entity
+    from stakgraph_spark.operators.skew import salted_count
+    from stakgraph_spark.sources import entities as E
+    from stakgraph_spark.sources.transcripts import derive_transcripts, synthetic_events
+
+    tr = derive_transcripts(
+        spark, synthetic_events(spark, SKEW_EVENTS, max(SKEW_EVENTS // 400, 1))
+    ).persist()
+    tr.count()
+    m_raw = extract_mentions(tr).persist()
+    n_raw = m_raw.count()
+    top = m_raw.groupBy("surface").count().orderBy(F.desc("count")).first()
+    names = [a for (_, idx, a) in E.ALIASES if idx == 0]
+    arr = "array(" + ",".join(f"'{a}'" for a in names) + ")"
+    pick = f"pmod(xxhash64(conv_id, turn_idx, surface), 100)"
+    # uniform control: every surface remapped evenly over the 20 names
+    m_uni = (
+        m_raw.withColumn(
+            "surface",
+            F.expr(f"element_at({arr}, CAST({pick} % {len(names)} AS INT) + 1)"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_uni = m_uni.count()
+    # torture: the SAME rows, but 40 of every 100 land on ONE name
+    # (twice the verdict's >=20% bar), the rest uniform over the
+    # other 19 — a controlled single-hot-key distribution
+    m_hot = (
+        m_raw.withColumn(
+            "surface",
+            F.expr(
+                f"CASE WHEN {pick} < 40 THEN '{names[0]}' ELSE"
+                f" element_at(slice({arr}, 2, {len(names) - 1}),"
+                f" CAST({pick} % {len(names) - 1} AS INT) + 1) END"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    n_hot = m_hot.count()
+    ent = entity_nodes(spark)
+
+    def leg(m):
+        t0 = time.time()
+        uses_by_entity(link_mentions(spark, m), ent).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    # interleaved, first (codegen-compiling) round dropped
+    leg(m_hot), leg(m_uni)
+    hot_walls = [leg(m_hot), leg(m_uni), leg(m_hot), leg(m_uni)]
+    wall_hot = round((hot_walls[0] + hot_walls[2]) / 2, 3)
+    wall_uni = round((hot_walls[1] + hot_walls[3]) / 2, 3)
+
+    t0 = time.time()
+    salted_count(m_hot, "surface", ["conv_id", "turn_idx"]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_salted = round(time.time() - t0, 3)
+    t0 = time.time()
+    m_hot.groupBy("surface").agg(F.count("*").alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_plain = round(time.time() - t0, 3)
+    m_raw.unpersist()
+    m_hot.unpersist()
+    m_uni.unpersist()
+    tr.unpersist()
+    return {
+        "corpus_turns": SKEW_EVENTS,
+        "mentions_hot": n_hot,
+        "mentions_uniform": n_uni,
+        "hot_surface": names[0],
+        "hot_surface_share": 0.4,
+        "production_top_surface_share": round(top["count"] / n_raw, 3),
+        "resolve_rollup_wall_hot_sec": wall_hot,
+        "resolve_rollup_wall_uniform_sec": wall_uni,
+        "hot_over_uniform": round(wall_hot / wall_uni, 3) if wall_uni else None,
+        "gate": "hot_over_uniform <= 2.0",
+        "salted_count_sec": t_salted,
+        "unsalted_count_sec": t_plain,
+    }
+
+
 def main() -> None:
     sys.path.insert(0, REPO)
     import __spark_entry__ as ENTRY
@@ -308,6 +428,7 @@ def main() -> None:
     t0 = time.time()
     g["triples"].count()
     e2e_sec = time.time() - t0
+    skew = _skew_torture(spark) if DO_SKEW else None
     corpus = _write_scale_corpus(spark, SCALE_EVENTS) if DO_SCALING else None
     spark.stop()
 
@@ -326,6 +447,8 @@ def main() -> None:
         "turns_per_sec_with_derivation": round(n_turns / e2e_cold_sec, 1),
         "cpus": CPUS,
     }
+    if skew:
+        result["skew"] = skew
 
     # --- scaling protocol: fresh cpuset-pinned process per
     # measurement; ADJACENT (lo, hi) pairs so both legs of a pair
@@ -458,6 +581,18 @@ def main() -> None:
             if len(line) <= 1900:
                 break
             scaling.pop(k, None)
+            line = json.dumps(result, separators=(",", ":"))
+    if skew:
+        # skew diagnostics drop next; the hot/uniform walls + ratio
+        # (the gate evidence) always stay
+        for k in (
+            "gate", "hot_surface", "production_top_surface_share",
+            "mentions_hot", "mentions_uniform",
+            "salted_count_sec", "unsalted_count_sec",
+        ):
+            if len(line) <= 1900:
+                break
+            skew.pop(k, None)
             line = json.dumps(result, separators=(",", ":"))
     print(line)
 
