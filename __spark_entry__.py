@@ -350,7 +350,7 @@ def _q_ann_lsh_pairs(spark, sf_dir):
 
 def _q_dialects(spark, sf_dir):
     """Dialect packs (the Stack-trait hook surface as DATA): every
-    shipped pack's 33 hook kinds — request-normalize / classify_test /
+    shipped pack's 36 hook kinds — request-normalize / classify_test /
     handler_pick / should_not_include-file-stack / lib-manifest
     (get_libs) / import-resolve / clean_edges / assoc_name /
     is_component / endpoint-verb / is_test_file / dm-path-filter /
@@ -365,7 +365,12 @@ def _q_dialects(spark, sf_dir):
     data_model_within_finder / is_lib_file (rendered for EVERY pack —
     the trait default is real behavior) / find_trait_operand (the
     go.rs GotoImplementations→OPERAND join) / extra_page_finder
-    (default_export, controller_pair, component_pair styles) —
+    (default_export, controller_pair, component_pair styles) /
+    page_name styles (app-dir parent, pages-stem index collapse,
+    last-segment) / call-operand emission conventions (emit, anon,
+    drop per receiver shape) / restful-route path generation
+    (rails_routes.rs action table + verb fallback + item
+    composition as data) —
     plus extraction rules (through the Arrow rule-pack executor) over
     the planted dims, pack-tagged — ONE pack definition drives both
     this query and its DuckDB oracle."""

@@ -211,6 +211,24 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   data as its gate exactly as the pipeline does; the
                   default-export name is a planted dim column (in the
                   reference it comes from code parsing)
+  pgname          the page-NAME rule completing the extra_page
+                  family (react.rs:994-1029 app-dir parent /
+                  pages-stem index collapsing / 'page' fallback;
+                  builder/utils.rs:31-37 + angular.rs:270 last
+                  segment): a named style, total over any path
+  opconv          the operand-emission convention of the pack's
+                  function_call_query (format.rs:750-765 reads ONLY
+                  @OPERAND; what each grammar binds differs —
+                  python.rs:133 / go.rs:140 / ruby.rs:137 /
+                  java.rs:120 / rust.rs:190 / cpp.rs:173): per
+                  receiver SHAPE, emit / anon / drop
+  restpath        rails_routes.rs:125-230 generate_endpoint_path:
+                  the RESTful action->suffix table, the no-action
+                  verb fallback, collection/member/resource_member
+                  item composition, and namespace / :singular_id
+                  parent prefixes — all pack data over planted route
+                  declarations; absent key = no generated paths (the
+                  trait's explicit-path default)
 
 Adding a dialect = adding a dict literal; zero engine code changes
 (proved by tests/test_dialects.py::test_new_pack_needs_no_code).
@@ -584,6 +602,26 @@ DIALECT_PACKS: dict[str, dict] = {
         # builder/utils.rs:31-37 get_page_name: the last path
         # segment, extension kept
         "page_name": "last_segment",
+        # rails_routes.rs:125-230 generate_endpoint_path: the Rails
+        # RESTful route-path generator as data — the standard
+        # action->suffix table (rails_routes.rs:200-214), the
+        # no-action verb fallback (:215-230: PUT/PATCH/DELETE take
+        # :id; GET only when the endpoint is NAMED show/edit), and
+        # the collection/member/resource_member item composition
+        # (:170-191) with namespace / :singular_id parent prefixes
+        # (:156-168). The reference singularizes via a full English
+        # inflection library (inflection_rs); the pack carries the
+        # rule as a regex pair (planted names are regular plurals).
+        "restful_routes": {
+            "actions": [
+                ("index", ""), ("new", "/new"), ("create", ""),
+                ("show", "/:id"), ("edit", "/:id/edit"),
+                ("update", "/:id"), ("destroy", "/:id"),
+            ],
+            "verb_id": ["PUT", "PATCH", "DELETE"],
+            "get_names": [("show", "/:id"), ("edit", "/:id/edit")],
+            "singular": ["s$", ""],
+        },
     },
     # Spring/JVM-ish: {param} templates; FooTest/FooIT class naming;
     # the java.rs dotted-import rewrites (the one pack shipping the
@@ -1207,6 +1245,42 @@ CALLX_CASES: list[tuple[int, str]] = [
     (4, "Mod::save()"),
 ]
 
+# Planted Rails-style route declarations for restful_routes
+# (rails_routes.rs:125-230), (rrid, res, action, verb, ep_name,
+# item_type, item_name, parents): the seven standard RESTful actions,
+# the no-action verb fallbacks (GET rewrites only show/edit NAMES;
+# PUT/PATCH/DELETE take :id; POST nothing), collection/member blocks
+# (whose walk-up captures the own resources block as the LAST parent
+# — excluded per :142-144), resource_member items (:182-188,
+# including the parent-already-in-path case :183), namespace +
+# nested-resource parents (:156-168), and the standard-action
+# last-parent==resource exclusion (:148-153).
+RESTROUTE_CASES: list[tuple[int, str, str, str, str, str, str, str]] = [
+    (0, "orders", "index", "", "", "", "", ""),
+    (1, "orders", "show", "", "", "", "", ""),
+    (2, "orders", "edit", "", "", "", "", ""),
+    (3, "orders", "new", "", "", "", "", ""),
+    (4, "orders", "destroy", "", "", "", "", ""),
+    (5, "orders", "", "DELETE", "remove", "", "", ""),
+    (6, "orders", "", "GET", "show", "", "", ""),
+    (7, "orders", "", "GET", "edit", "", "", ""),
+    (8, "orders", "", "GET", "list", "", "", ""),
+    (9, "orders", "", "POST", "create", "", "", ""),
+    (10, "profiles", "", "POST", "enrich_profile", "collection",
+     "enrich_profile", "res:profiles"),
+    (11, "profiles", "", "POST", "enrich_profile", "member",
+     "enrich_profile", "res:profiles"),
+    (12, "intro_requests", "", "POST", "create_from_public_page",
+     "resource_member", "create_from_public_page", ""),
+    (13, "users", "show", "", "", "", "", "ns:admin"),
+    (14, "comments", "index", "", "", "", "", "res:posts"),
+    (15, "orders", "index", "", "", "", "", "ns:admin,res:orders"),
+    (16, "profiles", "", "GET", "stats", "collection", "stats",
+     "ns:admin,res:profiles"),
+    (17, "posts", "", "GET", "preview", "resource_member", "preview",
+     "res:posts"),
+]
+
 XPAGE_CASES: list[tuple[int, str, str]] = [
     (0, "web/src/app/billing/page.tsx", "BillingPage"),
     (1, "web/src/app/docs/page.tsx", ""),
@@ -1465,6 +1539,17 @@ def xpage_cases_cte() -> str:
 
     return _union_all(
         XPAGE_CASES, ["xid", "xfile", "xexport"], ["INT", "STRING", "STRING"]
+    )
+
+
+def restroute_cases_cte() -> str:
+    from ..sources.entities import _union_all
+
+    return _union_all(
+        RESTROUTE_CASES,
+        ["rrid", "res", "action", "verb", "ep_name", "item_type",
+         "item_name", "parents"],
+        ["INT"] + ["STRING"] * 7,
     )
 
 
@@ -2324,6 +2409,105 @@ def call_operand_sql(pack: dict) -> str:
     )
 
 
+def restful_routes_sql(pack: dict, dialect: str) -> str:
+    """rails_routes.rs:125-230 generate_endpoint_path as data.
+
+    Path = '/' + parent prefixes + resource/item composition:
+      * parents (outermost first, the find_endpoint_parents order)
+        render as the namespace name or `name/:singular_id` for a
+        nested resource (:156-168);
+      * collection/member items drop the LAST parent — the walk-up
+        captures the own `resources` block (:140-144) — then emit
+        `res/item` / `res/:id/item` (:172-181);
+      * resource_member items keep all parents and emit
+        `res/:singular_id/item` unless the resource is already a
+        path part (:182-188);
+      * standard actions drop the last parent only when it names the
+        resource (:148-153), then append the pack's action-suffix
+        table, falling back to the verb rules (:200-230).
+
+    The pack carries the action table, the verb-fallback lists and
+    the singularization regex; everything else is this fixed
+    composition, rendered per dialect (the list-function vocabulary
+    differs: filter/transform/array_join vs list_* and
+    array_to_string)."""
+    spec = pack["restful_routes"]
+    s_pat, s_rep = spec["singular"]
+    if dialect == "spark":
+        l0 = "filter(split(parents, ','), t -> t <> '')"
+        def size(x):
+            return f"size({x})"
+        def minus_last(x):
+            return f"slice({x}, 1, greatest(size({x}) - 1, 0))"
+        last = f"element_at({l0}, -1)"
+        def transform(x, lam):
+            return f"transform({x}, {lam})"
+        def join(x):
+            return f"array_join({x}, '/')"
+        def exists(x, pred):
+            return f"size(filter({x}, {pred})) > 0"
+    else:
+        l0 = "list_filter(string_split(parents, ','), t -> t <> '')"
+        def size(x):
+            return f"len({x})"
+        def minus_last(x):
+            return f"list_slice({x}, 1, greatest(len({x}) - 1, 0))"
+        last = f"{l0}[-1]"
+        def transform(x, lam):
+            return f"list_transform({x}, {lam})"
+        def join(x):
+            return f"coalesce(array_to_string({x}, '/'), '')"
+        def exists(x, pred):
+            return f"len(list_filter({x}, {pred})) > 0"
+
+    def sing(x):
+        return f"regexp_replace({x}, '{s_pat}', '{s_rep}')"
+
+    # token 'ns:name' -> name; 'res:name' -> name/:singular_id
+    chunk = (
+        "t -> CASE WHEN t LIKE 'ns:%' THEN substr(t, 4)"
+        f" ELSE substr(t, 5) || '/:' || {sing('substr(t, 5)')} || '_id' END"
+    )
+    last_name = f"regexp_extract({last}, '^[a-z]+:(.*)$', 1)"
+    l1 = (
+        f"CASE WHEN item_type IN ('collection', 'member')"
+        f" THEN {minus_last(l0)}"
+        f" WHEN item_type = '' AND {size(l0)} > 0 AND {last_name} = res"
+        f" THEN {minus_last(l0)}"
+        f" ELSE {l0} END"
+    )
+    has_res = exists("l2", "t -> t = res OR t LIKE res || '/:%'")
+    action_arms = " ".join(
+        f"WHEN '{a}' THEN '{sfx}'" for a, sfx in spec["actions"]
+    )
+    verb_in = ", ".join(f"'{v}'" for v in spec["verb_id"])
+    get_arms = " ".join(
+        f"WHEN verb = 'GET' AND ep_name = '{n}' THEN '{sfx}'"
+        for n, sfx in spec["get_names"]
+    )
+    suffix = (
+        f"CASE action {action_arms}"
+        f" ELSE CASE WHEN verb IN ({verb_in}) THEN '/:id' {get_arms}"
+        f" ELSE '' END END"
+    )
+    value = (
+        "CASE item_type"
+        " WHEN 'collection' THEN basep || res || '/' || item_name"
+        " WHEN 'member' THEN basep || res || '/:id/' || item_name"
+        " WHEN 'resource_member' THEN basep || CASE WHEN has_res THEN ''"
+        f" ELSE res || '/:' || {sing('res')} || '_id/' END || item_name"
+        f" ELSE basep || res || {suffix} END"
+    )
+    return (
+        f"SELECT rrid, {value} AS value FROM"
+        f" (SELECT *, CASE WHEN pre = '' THEN '/' ELSE '/' || pre || '/' END"
+        f" AS basep, {has_res} AS has_res FROM"
+        f" (SELECT *, {join('l2')} AS pre FROM"
+        f" (SELECT *, {transform('(' + l1 + ')', chunk)} AS l2"
+        f" FROM rrc) a) b) c"
+    )
+
+
 def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
     """The pack's SQL hook surface over the planted dims as ONE
     UNION-ALL body (pack, kind, id, value) assuming `dc` / `hc` CTEs
@@ -2545,6 +2729,13 @@ def dialect_surface_body(pack_name: str, pack: dict, dialect: str) -> str:
             f" UNION ALL SELECT '{pack_name}', 'opconv', id,"
             f" value FROM ({call_operand_sql(pack)})"
         )
+    if pack.get("restful_routes"):
+        # absent key = the reference's explicit-path default
+        # (rails_routes.rs:126-128: no handler meta, no generation)
+        body += (
+            f" UNION ALL SELECT '{pack_name}', 'restpath', CAST(rrid AS STRING),"
+            f" value FROM ({restful_routes_sql(pack, dialect)})"
+        )
     return body
 
 
@@ -2566,7 +2757,7 @@ def _dims_with() -> str:
         f" itf AS ({istest_cases_cte()}), itn AS ({itest_cases_cte()}),"
         f" lfc AS ({libf_cases_cte()}), gic AS ({gimpl_cases_cte()}),"
         f" trc AS ({traitd_cases_cte()}), xpc AS ({xpage_cases_cte()}),"
-        f" cxc AS ({callx_cases_cte()}) "
+        f" cxc AS ({callx_cases_cte()}), rrc AS ({restroute_cases_cte()}) "
     )
 
 

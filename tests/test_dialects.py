@@ -950,3 +950,71 @@ def test_pgname_opconv_dmvariant_hooks_per_pack(spark):
     # the goish dm_within variant: snake(Customer)+'_store.go' finds
     # SaveCustomer; railsish's controller suffix is untouched by it
     assert kind("goish", "dmwithin") == {"0:13": "SaveCustomer CONTAINS Customer"}
+
+
+def test_restful_routes_hook(spark):
+    """rails_routes.rs:125-230 generate_endpoint_path as pack data:
+    railsish composes the exact reference paths over the planted
+    route declarations (standard action table, verb fallback,
+    collection/member last-parent exclusion, resource_member
+    :singular_id, namespace/nested-resource prefixes, the
+    parent-already-in-path guard); no other shipped pack carries the
+    key (the explicit-path default, :126-128); and the tables are
+    DATA — a variant pack swapping ':id' -> ':uuid' moves exactly
+    the action/verb-suffixed rows while the member item's ':id'
+    stays (it is composition, hardcoded at :179, not table data)."""
+    expected = {
+        "0": "/orders",
+        "1": "/orders/:id",
+        "2": "/orders/:id/edit",
+        "3": "/orders/new",
+        "4": "/orders/:id",
+        "5": "/orders/:id",
+        "6": "/orders/:id",
+        "7": "/orders/:id/edit",
+        "8": "/orders",
+        "9": "/orders",
+        "10": "/profiles/enrich_profile",
+        "11": "/profiles/:id/enrich_profile",
+        "12": "/intro_requests/:intro_request_id/create_from_public_page",
+        "13": "/admin/users/:id",
+        "14": "/posts/:post_id/comments",
+        "15": "/admin/orders",
+        "16": "/admin/profiles/stats",
+        "17": "/posts/:post_id/preview",
+    }
+    out = _spark_rows(spark, "railsish", D.DIALECT_PACKS["railsish"])
+    got = {r[2]: r[3] for r in out if r[1] == "restpath"}
+    assert got == expected
+    # oracle parity for the new arm specifically
+    ora = {
+        r[2]: r[3]
+        for r in _oracle_rows({"railsish": D.DIALECT_PACKS["railsish"]})
+        if r[1] == "restpath"
+    }
+    assert ora == expected
+    # only railsish ships the hook (data-level check: absent key =
+    # the arm never renders)
+    assert [n for n, p in D.DIALECT_PACKS.items() if "restful_routes" in p] == ["railsish"]
+
+    uuid_rr = {
+        "actions": [
+            ("index", ""), ("new", "/new"), ("create", ""),
+            ("show", "/:uuid"), ("edit", "/:uuid/edit"),
+            ("update", "/:uuid"), ("destroy", "/:uuid"),
+        ],
+        "verb_id": ["PUT", "PATCH", "DELETE"],
+        "get_names": [("show", "/:uuid"), ("edit", "/:uuid/edit")],
+        "singular": ["s$", ""],
+    }
+    variant = {**D.DIALECT_PACKS["railsish"], "restful_routes": uuid_rr}
+    vgot = {
+        r[2]: r[3]
+        for r in _spark_rows(spark, "uuidish", variant)
+        if r[1] == "restpath"
+    }
+    moved = {k for k in expected if vgot[k] != expected[k]}
+    assert moved == {"1", "2", "4", "6", "7", "13"}
+    assert vgot["1"] == "/orders/:uuid" and vgot["13"] == "/admin/users/:uuid"
+    # the member-item ':id' is composition, not table data
+    assert vgot["11"] == "/profiles/:id/enrich_profile"
