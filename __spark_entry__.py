@@ -349,11 +349,15 @@ def _q_ann_lsh_pairs(spark, sf_dir):
 
 
 def _q_dialects(spark, sf_dir):
-    """Dialect packs (the Stack-trait hook surface as DATA): every
-    shipped pack's 36 hook kinds — request-normalize / classify_test /
+    """Dialect packs (the Stack-trait hook surface as DATA):
+    11 shipped packs × 36 hook kinds — request-normalize /
+    classify_test (incl. the empty-rule-list trait default,
+    kotlin.rs / swift.rs) /
     handler_pick / should_not_include-file-stack / lib-manifest
     (get_libs) / import-resolve / clean_edges / assoc_name /
-    is_component / endpoint-verb / is_test_file / dm-path-filter /
+    is_component / endpoint-verb (call_contains, handler_prefix/eq,
+    call_method_eq, body_contains sources) / is_test_file /
+    dm-path-filter /
     data_model_name / e2e-test-id / is_router_file /
     endpoint-path-filter / update_endpoint (verb_map, suffix_strip,
     name_is_verb styles) / is_extra_page / class_contains_datamodel /

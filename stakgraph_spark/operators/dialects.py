@@ -246,7 +246,7 @@ from ..functions.paths import normalize_backend_path_sql
 from .extract import MENTION_RE, NUMSEG_RE, TESTREF_RE, TOOL_RE
 
 # ---------------------------------------------------------------------------
-# The shipped dialect packs (seven "languages" with genuinely
+# The shipped dialect packs (eleven "languages" with genuinely
 # different behavior on the same planted input — see DIALECT_CASES).
 # ---------------------------------------------------------------------------
 
@@ -790,6 +790,73 @@ DIALECT_PACKS: dict[str, dict] = {
         "call_operand": {"bare": "emit", "simple": "anon",
                          "dotted": "anon", "callres": "anon", "scoped": "emit"},
     },
+    # Ktor/JVM-Kotlin-ish (kotlin.rs): {param} templates; the
+    # classify_test TRAIT DEFAULT (no override — every test is a
+    # UnitTest, mod.rs:183, expressed as an EMPTY rule list); verbs
+    # from the registration call's method identifier with a GET
+    # default (kotlin.rs:207-224); app/models dm filter
+    # (kotlin.rs:235-237); dotted imports dropping the last TWO
+    # segments (kotlin.rs:266-274) with the tail-segment name
+    # (kotlin.rs:256-263); 'test'-prefixed (no underscore) test names
+    # (kotlin.rs:252-254); enclosing-range parents
+    # (kotlin.rs:139-160); gradle-kts implementation("g:a:v") call
+    # lines as the lib manifest (the kotlin.rs:31-38 call_expression
+    # lib_query pointed at the build script).
+    "kotlinish": {
+        "rules": [("mention", MENTION_RE, True)],
+        "request_styles": ["brace"],
+        "test_classes": [],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        "lib_manifest": {
+            "file": "build.gradle.kts",
+            "line_re": '^implementation[(]"([A-Za-z0-9.:_-]+):([0-9][0-9A-Za-z.-]*)"[)]$',
+        },
+        "import_resolve": {
+            "path_ops": ["dots_to_path_drop_last2"],
+            "name_op": "last_dot_segment",
+        },
+        "endpoint_verb": {
+            "rules": [
+                ("call_method_eq", "get", "GET"),
+                ("call_method_eq", "post", "POST"),
+                ("call_method_eq", "put", "PUT"),
+                ("call_method_eq", "delete", "DELETE"),
+            ],
+            "default": "GET",
+        },
+        "dm_path_filter": "app/models",
+        "is_test": {"style": "name_prefix", "prefix": "test"},
+        "parent_resolve": {"style": "enclosing_range"},
+    },
+    # URLSession/CoreData-Swift-ish (swift.rs): the classify_test
+    # trait default; verbs from BODY-substring tiers with swift's
+    # exact tier order (method: "GET" / bodyParams: nil both mean
+    # GET and the first tier wins; NO fallthrough verb,
+    # swift.rs:128-143); CoreData dm filter (swift.rs:174-176);
+    # 'test'-prefixed test names (swift.rs:192-194);
+    # enclosing-range parents (the class_declaration walk-up,
+    # swift.rs:86-117).
+    "swiftish": {
+        "rules": [("mention", MENTION_RE, True)],
+        "request_styles": ["brace"],
+        "test_classes": [],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        "endpoint_verb": {
+            "rules": [
+                ("body_contains", 'method: "GET"', "GET"),
+                ("body_contains", "bodyParams: nil", "GET"),
+                ("body_contains", 'method: "POST"', "POST"),
+                ("body_contains", 'method: "PUT"', "PUT"),
+                ("body_contains", 'method: "DELETE"', "DELETE"),
+            ],
+            "default": "",
+        },
+        "dm_path_filter": "CoreData",
+        "is_test": {"style": "name_prefix", "prefix": "test"},
+        "parent_resolve": {"style": "enclosing_range"},
+    },
 }
 
 # ---------------------------------------------------------------------------
@@ -866,6 +933,8 @@ MANIFEST_CASES: list[tuple[int, str, str]] = [
     (14, "package.json", '"@angular/core": "^17.0.2",'),
     (15, "Cargo.toml", 'serde = "1.0.193"'),
     (16, "Cargo.toml", "[dependencies]"),
+    (17, "build.gradle.kts", 'implementation("io.ktor:ktor-server-core:2.3.4")'),
+    (18, "build.gradle.kts", 'plugins { kotlin("jvm") version "1.9.10" }'),
 ]
 
 # Planted endpoint-definition files, (pid, ep_file), for
@@ -963,18 +1032,28 @@ FUNC_CASES: list[tuple[int, str]] = [
     (4, "_private"),
 ]
 
-# Planted endpoint registrations, (vid, call, handler): rust-style
-# packs read the CALL text, python-style packs read the HANDLER name
-# — the same rows answer differently because different packs consult
-# different columns.
-VERB_CASES: list[tuple[int, str, str]] = [
-    (0, 'r.get("/items", h)', "listItems"),
-    (1, 'app.route("/items")', "get_items"),
-    (2, 'router.post("/x", handle)', "makeX"),
-    (3, "", "create_order"),
-    (4, 'r.delete("/y")', "remove_y"),
-    (5, 'app.route("/z")', "index"),
-    (6, 'c.put("/w")', "update_w"),
+# Planted endpoint registrations, (vid, call, handler, body):
+# rust-style packs read the CALL text, python-style packs the
+# HANDLER name, swift-style packs the endpoint BODY — the same rows
+# answer differently because different packs consult different
+# columns. Rows 7-12 are the swift.rs:128-143 body-tier fixtures:
+# the bodyParams-nil GET tier, each method literal, the
+# first-tier-wins row (POST literal AND bodyParams: nil -> GET),
+# and a no-tier row (swift sets NO default verb).
+VERB_CASES: list[tuple[int, str, str, str]] = [
+    (0, 'r.get("/items", h)', "listItems", ""),
+    (1, 'app.route("/items")', "get_items", ""),
+    (2, 'router.post("/x", handle)', "makeX", ""),
+    (3, "", "create_order", ""),
+    (4, 'r.delete("/y")', "remove_y", ""),
+    (5, 'app.route("/z")', "index", ""),
+    (6, 'c.put("/w")', "update_w", ""),
+    (7, "", "fetchPerson", 'URLRequest(url: url); method: "GET"'),
+    (8, "", "createPerson", 'method: "POST"; bodyParams: params'),
+    (9, "", "loadCache", "bodyParams: nil"),
+    (10, "", "deletePerson", 'method: "DELETE"'),
+    (11, "", "ambiguous", 'method: "POST"; bodyParams: nil'),
+    (12, "", "opaque", "plain body"),
 ]
 
 # Planted filenames for is_test_file: each pack's contains/suffix
@@ -999,6 +1078,10 @@ DM_CASES: list[tuple[int, str, str]] = [
     (1, "app/models/user.rb", "Company"),
     (2, "models/order.ts", "Status"),
     (3, "src/lib/util.ts", "LineItem"),
+    # swift.rs:174-176 CoreData filter (kotlinish's app/models is
+    # already hit by row 1; its .rb extension is irrelevant — the
+    # hook is a pure path-substring test, mod.rs:116)
+    (4, "App/CoreData/Person.swift", "Person"),
 ]
 
 # Planted e2e call sites for e2e_test_id_finder_string: snake_case
@@ -1360,7 +1443,9 @@ def verb_cases_cte() -> str:
     from ..sources.entities import _union_all
 
     return _union_all(
-        VERB_CASES, ["vid", "call", "handler"], ["INT", "STRING", "STRING"]
+        VERB_CASES,
+        ["vid", "call", "handler", "body"],
+        ["INT", "STRING", "STRING", "STRING"],
     )
 
 
@@ -1572,6 +1657,10 @@ def classify_test_sql(pack: dict, name_expr: str, dialect: str) -> str:
         f"WHEN {rx}({name_expr}, '{pat}') THEN '{cls}'"
         for pat, cls in pack["test_classes"]
     )
+    if not arms:
+        # no rules = the trait default (mod.rs:183): every test is
+        # the default class (kotlin.rs / swift.rs ship no override)
+        return f"'{pack['default_test_class']}'"
     return f"CASE {arms} ELSE '{pack['default_test_class']}' END"
 
 
@@ -1675,11 +1764,23 @@ def _op_dots_to_path_drop_last(x: str) -> str:
     )
 
 
+def _op_dots_to_path_drop_last2(x: str) -> str:
+    # kotlin.rs:266-274: dotted paths with MORE than two segments
+    # drop the last TWO and become slash paths; shorter ones pass
+    # through unchanged (parts[..len-2].join("/"))
+    return (
+        f"CASE WHEN {x} LIKE '%.%.%'"
+        f" THEN replace(regexp_replace({x}, '[.][^.]*[.][^.]*$', ''), '.', '/')"
+        f" ELSE {x} END"
+    )
+
+
 _PATH_OPS = {
     "trim": _op_trim,
     "strip_rel_prefix": _op_strip_rel_prefix,
     "strip_quotes": _op_strip_quotes,
     "dots_to_path_drop_last": _op_dots_to_path_drop_last,
+    "dots_to_path_drop_last2": _op_dots_to_path_drop_last2,
 }
 
 _NAME_OPS = {
@@ -1780,20 +1881,30 @@ def is_component_sql(pack: dict, expr: str) -> str:
     return f"CAST({_COMPONENT_STYLES[pack['component']['style']](expr)} AS STRING)"
 
 
-def endpoint_verb_sql(pack: dict, call_expr: str, handler_expr: str) -> str:
+def endpoint_verb_sql(
+    pack: dict, call_expr: str, handler_expr: str, body_expr: str = "body"
+) -> str:
     """add_endpoint_verb as data (mod.rs:184 no-op default): ordered
     (source, pattern, verb) rules rendered as a first-match CASE.
     Sources: call_contains (rust.rs:308-321 '.get(' tiers over the
     call text), handler_prefix / handler_eq (python.rs:240-251 tiers
     over the lowercased handler name — prefix via substr, not LIKE,
-    so '_' in patterns never wildcards). 'default' is the fallthrough
-    verb ('' = leave unset, typescript.rs:193-199)."""
+    so '_' in patterns never wildcards), call_method_eq
+    (kotlin.rs:207-224: the registration call's METHOD identifier —
+    the @REQUEST_CALL navigation-suffix capture — compared exactly),
+    body_contains (swift.rs:128-143: literal-substring tiers over
+    the endpoint body, incl. the bodyParams-nil GET tier). 'default'
+    is the fallthrough verb ('' = leave unset, typescript.rs:193-199;
+    kotlin.rs:219-221 defaults GET)."""
+    method = f"regexp_extract({call_expr}, '([A-Za-z_]+) *[(]', 1)"
     conds = {
         "call_contains": lambda p: f"position({_sq(p)} IN {call_expr}) > 0",
         "handler_prefix": lambda p: (
             f"substr(lower({handler_expr}), 1, {len(p)}) = {_sq(p)}"
         ),
         "handler_eq": lambda p: f"lower({handler_expr}) = {_sq(p)}",
+        "call_method_eq": lambda p: f"{method} = {_sq(p)}",
+        "body_contains": lambda p: f"position({_sq(p)} IN {body_expr}) > 0",
     }
     spec = pack["endpoint_verb"]
     arms = " ".join(

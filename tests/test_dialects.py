@@ -1018,3 +1018,61 @@ def test_restful_routes_hook(spark):
     assert vgot["1"] == "/orders/:uuid" and vgot["13"] == "/admin/users/:uuid"
     # the member-item ':id' is composition, not table data
     assert vgot["11"] == "/profiles/:id/enrich_profile"
+
+
+def test_kotlinish_swiftish_packs(spark):
+    """Packs 10 and 11 (kotlin.rs / swift.rs) are dict literals over
+    the SAME fixed interpreters: kotlin's call-method-eq verb tiers
+    with the GET default (kotlin.rs:207-224), drop-last-TWO dotted
+    imports (kotlin.rs:266-274), gradle-kts implementation() lib
+    lines (kotlin.rs:31-38), the app/models dm filter
+    (kotlin.rs:235-237) and the classify_test TRAIT default
+    (mod.rs:183, an empty rule list); swift's body-substring verb
+    tiers in reference order with NO fallthrough verb
+    (swift.rs:128-143) and the CoreData dm filter (swift.rs:174-176).
+    Both must match their oracle rendering exactly."""
+    kot = _spark_rows(spark, "kotlinish", D.DIALECT_PACKS["kotlinish"])
+    swi = _spark_rows(spark, "swiftish", D.DIALECT_PACKS["swiftish"])
+    assert kot == [
+        r for r in _oracle_rows({"kotlinish": D.DIALECT_PACKS["kotlinish"]})
+    ]
+    assert swi == [
+        r for r in _oracle_rows({"swiftish": D.DIALECT_PACKS["swiftish"]})
+    ]
+
+    def kind(rows, k):
+        return {r[2]: r[3] for r in rows if r[1] == k}
+
+    # kotlin: the registration call's METHOD identifier, exact,
+    # GET default — rows that rustish/expressish call_contains
+    # answers '' (app.route, bare handler) default to GET here
+    kv = kind(kot, "verb")
+    assert kv["2"] == "POST" and kv["4"] == "DELETE" and kv["6"] == "PUT"
+    assert kv["1"] == "GET" and kv["3"] == "GET" and kv["5"] == "GET"
+    # swift: body tiers; registrations carry no body -> '' (no
+    # default verb, swift.rs sets none); bodyParams-nil is a GET
+    # tier; the POST+nil row proves reference tier ORDER (GET wins)
+    sv = kind(swi, "verb")
+    assert sv["0"] == "" and sv["3"] == ""
+    assert sv["7"] == "GET" and sv["8"] == "POST" and sv["10"] == "DELETE"
+    assert sv["9"] == "GET" and sv["11"] == "GET" and sv["12"] == ""
+    # kotlin imports drop the last TWO dotted segments (javaish
+    # drops one): the same planted row splits the two JVM packs
+    assert kind(kot, "import")["2"] == "java"
+    assert kind(kot, "import")["5"] == "a/b"
+    jav = _spark_rows(spark, "javaish", D.DIALECT_PACKS["javaish"])
+    assert kind(jav, "import")["2"] == "java/util"
+    assert kind(kot, "impname")["2"] == "List" == kind(jav, "impname")["2"]
+    # gradle-kts call lines: only the implementation("g:a:v") row
+    assert kind(kot, "lib") == {"17": "io.ktor:ktor-server-core@2.3.4"}
+    # dm path filters: app/models vs CoreData claim disjoint rows
+    assert kind(kot, "dmfile") == {"1": "app/models/user.rb"}
+    assert kind(swi, "dmfile") == {"4": "App/CoreData/Person.swift"}
+    # classify_test trait default: EVERY planted name is a UnitTest
+    assert set(kind(kot, "test").values()) == {"UnitTest"}
+    # is_test prefix 'test' (no underscore, case-sensitive):
+    # takes test_checkout AND testValue, rejects TestLogin/Tester
+    assert kind(kot, "istest") == {
+        "0": "false", "1": "true", "2": "false",
+        "3": "false", "4": "true", "5": "false",
+    }
