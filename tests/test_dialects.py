@@ -1076,3 +1076,35 @@ def test_kotlinish_swiftish_packs(spark):
         "0": "false", "1": "true", "2": "false",
         "3": "false", "4": "true", "5": "false",
     }
+
+
+def test_empty_ruleset_pack_drives_production_build(spark):
+    """The classify_test TRAIT default as an empty rule list
+    (mod.rs:183; kotlin.rs / swift.rs ship no override) through the
+    PRODUCTION build: build_graph(pack=kotlinish) classifies every
+    test as the default class, where the packless tid%3 dialect
+    splits them three ways — the same classify_test_sql rendering
+    serves the dialect surface and the pipeline."""
+    from pyspark.sql import functions as F
+
+    from stakgraph_spark.plans.pipeline import build_graph
+    from stakgraph_spark.sources.transcripts import read_transcripts
+    from tests.conftest import SF_SMALL
+
+    kinds = ("UnitTest", "IntegrationTest", "E2etest")
+    tr = read_transcripts(spark, SF_SMALL)
+
+    def split(g):
+        return {
+            r.node_type
+            for r in g["nodes"]
+            .where(F.col("node_type").isin(*kinds))
+            .select("node_type")
+            .distinct()
+            .collect()
+        }
+
+    assert split(build_graph(spark, tr, pack=D.DIALECT_PACKS["kotlinish"])) == {
+        "UnitTest"
+    }
+    assert len(split(build_graph(spark, tr))) == 3
