@@ -308,6 +308,9 @@ def test_dm_e2eid_router_hooks_per_pack(spark):
         "1": "companies",   # y -> ies
         "2": "statuses",    # us -> uses
         "3": "lineitems",   # +s, lowercased
+        "4": "persons",     # catch-all +s (the pack's suffix rules
+                            # are data, not a full inflection lib —
+                            # 'people' would need an added rule)
     }
     assert kind("goish", "dmname") == {}             # identity default
     # e2e_test_id: snake vs camel finders claim disjoint call sites
