@@ -1362,6 +1362,14 @@ RESTROUTE_CASES: list[tuple[int, str, str, str, str, str, str, str]] = [
      "ns:admin,res:profiles"),
     (17, "posts", "", "GET", "preview", "resource_member", "preview",
      "res:posts"),
+    # rails_routes.rs:196-198: a standard action whose resource is
+    # already among the KEPT parents (not last — the exclusion at
+    # :148-153 only inspects the last) must not re-push the segment
+    (18, "orders", "show", "", "", "", "", "res:orders,res:posts"),
+    # :214 `_ => ()`: a present-but-UNKNOWN action adds no suffix and
+    # never consults the verb fallback (verb would have added /:id)
+    (19, "orders", "archive", "", "", "", "", ""),
+    (20, "orders", "archive", "DELETE", "archive", "", "", ""),
 ]
 
 XPAGE_CASES: list[tuple[int, str, str]] = [
@@ -2596,9 +2604,13 @@ def restful_routes_sql(pack: dict, dialect: str) -> str:
         f"WHEN verb = 'GET' AND ep_name = '{n}' THEN '{sfx}'"
         for n, sfx in spec["get_names"]
     )
+    # a PRESENT-but-unknown action falls to the `_ => ()` arm
+    # (rails_routes.rs:214): NO suffix, and the verb fallback is
+    # never consulted (it is the None-action branch, :215-217)
     suffix = (
         f"CASE action {action_arms}"
-        f" ELSE CASE WHEN verb IN ({verb_in}) THEN '/:id' {get_arms}"
+        f" ELSE CASE WHEN action <> '' THEN ''"
+        f" WHEN verb IN ({verb_in}) THEN '/:id' {get_arms}"
         f" ELSE '' END END"
     )
     value = (
@@ -2607,7 +2619,12 @@ def restful_routes_sql(pack: dict, dialect: str) -> str:
         " WHEN 'member' THEN basep || res || '/:id/' || item_name"
         " WHEN 'resource_member' THEN basep || CASE WHEN has_res THEN ''"
         f" ELSE res || '/:' || {sing('res')} || '_id/' END || item_name"
-        f" ELSE basep || res || {suffix} END"
+        # standard actions also skip re-pushing the resource when a
+        # KEPT parent already names it (rails_routes.rs:196-198's
+        # path_parts.contains check) — basep ends '/', trim it
+        " ELSE CASE WHEN has_res"
+        " THEN substr(basep, 1, length(basep) - 1)"
+        f" ELSE basep || res END || {suffix} END"
     )
     return (
         f"SELECT rrid, {value} AS value FROM"

@@ -985,6 +985,9 @@ def test_restful_routes_hook(spark):
         "15": "/admin/orders",
         "16": "/admin/profiles/stats",
         "17": "/posts/:post_id/preview",
+        "18": "/orders/:order_id/posts/:post_id/:id",
+        "19": "/orders",
+        "20": "/orders",
     }
     out = _spark_rows(spark, "railsish", D.DIALECT_PACKS["railsish"])
     got = {r[2]: r[3] for r in out if r[1] == "restpath"}
@@ -1017,7 +1020,7 @@ def test_restful_routes_hook(spark):
         if r[1] == "restpath"
     }
     moved = {k for k in expected if vgot[k] != expected[k]}
-    assert moved == {"1", "2", "4", "6", "7", "13"}
+    assert moved == {"1", "2", "4", "6", "7", "13", "18"}
     assert vgot["1"] == "/orders/:uuid" and vgot["13"] == "/admin/users/:uuid"
     # the member-item ':id' is composition, not table data
     assert vgot["11"] == "/profiles/:id/enrich_profile"
@@ -1111,3 +1114,101 @@ def test_empty_ruleset_pack_drives_production_build(spark):
         "UnitTest"
     }
     assert len(split(build_graph(spark, tr))) == 3
+
+
+def _ref_generate_endpoint_path(res, action, verb, ep_name,
+                                item_type, item_name, parents):
+    """A faithful Python transcription of rails_routes.rs:125-230
+    generate_endpoint_path (the differential oracle for the property
+    test below; planted names are regular plurals, so to_singular is
+    the pack's s$-strip)."""
+    sing = lambda n: n[:-1] if n.endswith("s") else n
+    if item_type in ("collection", "member"):
+        pu = parents[:-1]
+    elif item_type == "resource_member":
+        pu = parents
+    else:
+        pu = parents[:-1] if parents and parents[-1][1] == res else parents
+    parts = []
+    for kind, name in pu:
+        if kind == "ns":
+            parts.append(name)
+        else:
+            parts.append(name)
+            parts.append(f":{sing(name)}_id")
+    if item_type == "collection":
+        parts += [res, item_name]
+        return "/" + "/".join(parts)
+    if item_type == "member":
+        parts += [res, ":id", item_name]
+        return "/" + "/".join(parts)
+    if item_type == "resource_member":
+        if res not in parts:
+            parts += [res, f":{sing(res)}_id"]
+        parts.append(item_name)
+        return "/" + "/".join(parts)
+    if res not in parts:
+        parts.append(res)
+    if action:
+        parts += {
+            "index": [], "new": ["new"], "create": [], "show": [":id"],
+            "edit": [":id", "edit"], "update": [":id"], "destroy": [":id"],
+        }.get(action, [])
+    elif verb in ("PUT", "PATCH", "DELETE"):
+        parts.append(":id")
+    elif verb == "GET":
+        if ep_name == "show":
+            parts.append(":id")
+        elif ep_name == "edit":
+            parts += [":id", "edit"]
+    return "/" + "/".join(parts)
+
+
+def test_restful_routes_property_vs_reference_transcription():
+    """Differential property test: the pack-data SQL rendering of
+    generate_endpoint_path equals a line-faithful Python
+    transcription of rails_routes.rs:125-230 on randomized route
+    declarations (resources, all action/verb/name combinations,
+    item types, parent chains up to depth 3 mixing namespaces and
+    nested resources — including chains that repeat the resource,
+    the case the planted row 18 pins)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["orders", "posts", "users", "profiles", "admin"])
+    parent = st.tuples(st.sampled_from(["ns", "res"]), names)
+    rows = st.tuples(
+        names,                                                  # res
+        st.sampled_from(["", "index", "new", "create", "show",
+                         "edit", "update", "destroy", "archive"]),
+        st.sampled_from(["", "GET", "POST", "PUT", "PATCH", "DELETE"]),
+        st.sampled_from(["", "show", "edit", "list", "stats"]),  # ep_name
+        st.sampled_from(["", "collection", "member", "resource_member"]),
+        st.sampled_from(["stats", "preview", "enrich"]),         # item_name
+        st.lists(parent, max_size=3),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rows, min_size=1, max_size=8))
+    def check(cases):
+        lits = []
+        want = {}
+        for i, (res, action, verb, ep_name, itype, iname, parents) in enumerate(cases):
+            iname_eff = iname if itype else ""
+            lits.append(
+                f"({i}, '{res}', '{action}', '{verb}', '{ep_name}',"
+                f" '{itype}', '{iname_eff}',"
+                f" '{','.join(k + ':' + n for k, n in parents)}')"
+            )
+            want[i] = _ref_generate_endpoint_path(
+                res, action, verb, ep_name, itype, iname_eff, parents
+            )
+        cte = (
+            "SELECT * FROM (VALUES " + ", ".join(lits) + ") AS t(rrid,"
+            " res, action, verb, ep_name, item_type, item_name, parents)"
+        )
+        sql = D.restful_routes_sql(D.DIALECT_PACKS["railsish"], "duckdb")
+        got = dict(duckdb.sql(f"WITH rrc AS ({cte}) {sql}").fetchall())
+        assert got == want
+
+    check()
