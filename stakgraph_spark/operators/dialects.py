@@ -654,9 +654,11 @@ DIALECT_PACKS: dict[str, dict] = {
         "test_file": {"suffixes": ["Test.java", "IT.java"]},
         # Spring-style: endpoints live in *Controller classes
         "ep_path_filter": "Controller",
-        # java.rs:170-184: @GetMapping-family annotations map to
+        # java.rs:170-188: @GetMapping-family annotations map to
         # verbs exactly, unknown annotations fall to GET, and an
-        # un-annotated endpoint gains no verb
+        # un-annotated endpoint ALSO defaults to GET (the trailing
+        # add_verb("GET") at :186 — the hook never leaves a Java
+        # endpoint verbless)
         "update_endpoint": {
             "style": "verb_map",
             "table": [
@@ -667,6 +669,7 @@ DIALECT_PACKS: dict[str, dict] = {
                 ("PATCHMAPPING", "PATCH"),
             ],
             "unknown": "GET",
+            "absent": "GET",
         },
         # JVM identifiers have no scope-resolution segments: the rule
         # stops where railsish's :: continues, so the same planted
@@ -1982,9 +1985,11 @@ def update_endpoint_sql(
     the value is `updated_name || '#' || verb` so one arm carries
     both mutations the hook can make. Styles:
 
-      verb_map      java.rs:170-184 — annotation maps through an
+      verb_map      java.rs:170-188 — annotation maps through an
                     exact table, unknown annotations fall to the
-                    'unknown' verb, an absent annotation adds nothing
+                    'unknown' verb, an absent annotation gains the
+                    'absent' verb (java's trailing add_verb("GET"),
+                    :186; '' = adds nothing)
       suffix_strip  cpp.rs:278-296 — strip the declared suffix, trim
                     quotes (the shared trim_quotes scalar), uppercase;
                     an absent annotation means ANY
@@ -2005,9 +2010,12 @@ def update_endpoint_sql(
         arms = " ".join(
             f"WHEN {annot_expr} = {_sq(k)} THEN {_sq(v)}" for k, v in spec["table"]
         )
+        # 'absent' is the verb an UN-annotated endpoint still gains
+        # (java.rs:185-187 falls through to add_verb("GET"); '' =
+        # adds nothing, for dialects whose hook early-returns)
         verb = (
-            f"CASE WHEN {annot_expr} = '' THEN '' {arms}"
-            f" ELSE {_sq(spec['unknown'])} END"
+            f"CASE WHEN {annot_expr} = '' THEN {_sq(spec.get('absent', ''))}"
+            f" {arms} ELSE {_sq(spec['unknown'])} END"
         )
         return f"{name_expr} || '#' || {verb}"
     if style == "suffix_strip":

@@ -345,11 +345,13 @@ def test_epfile_update_xpage_dmclass_hooks_per_pack(spark):
     assert kind("javaish", "epfile") == {"2": "src/ItemController.java"}
     assert kind("goish", "epfile") == {}             # trait None default
     # update_endpoint — the same 8 planted endpoints, three styles:
-    # verb_map maps the table exactly, unknown -> GET, absent -> none
+    # verb_map maps the table exactly, unknown -> GET, and an
+    # UN-annotated endpoint also gains GET (java.rs:186's trailing
+    # add_verb — the hook never leaves a Java endpoint verbless)
     jv = kind("javaish", "update")
     assert jv["0"] == "createItem#POST" and jv["1"] == "listItems#GET"
-    assert jv["2"] == "oddball#GET"                  # unknown annotation
-    assert jv["5"] == "bare#" and jv["6"] == "GET#"  # absent adds nothing
+    assert jv["2"] == "oddball#GET"                      # unknown annotation
+    assert jv["5"] == "bare#GET" and jv["6"] == "GET#GET"  # absent -> GET
     # suffix_strip: strip _METHOD, trim quotes, uppercase; absent -> ANY
     cp = kind("cppish", "update")
     assert cp["3"] == "register#GET" and cp["4"] == "register2#POST"
