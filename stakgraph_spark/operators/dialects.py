@@ -781,6 +781,29 @@ DIALECT_PACKS: dict[str, dict] = {
         ],
         "default_test_class": "UnitTest",
         "handler_pick": "first",
+        # rust.rs:301-335 add_endpoint_verb, reference-exact: call
+        # tiers use the DOTLESS 'get(' substring (":308 contains
+        # '.get(' || contains 'get(' — the dotted form is subsumed,
+        # so bare get(...) registrations match too), then handler
+        # prefix tiers in rust's put-BEFORE-delete order, and NO
+        # fallthrough verb (:322-334 has no final else — contrast
+        # flaskish's GET default and kotlinish's default)
+        "endpoint_verb": {
+            "rules": [
+                ("call_contains", "get(", "GET"),
+                ("call_contains", "post(", "POST"),
+                ("call_contains", "put(", "PUT"),
+                ("call_contains", "delete(", "DELETE"),
+                ("handler_prefix", "get_", "GET"),
+                ("handler_prefix", "post_", "POST"),
+                ("handler_prefix", "create_", "POST"),
+                ("handler_prefix", "put_", "PUT"),
+                ("handler_prefix", "update_", "PUT"),
+                ("handler_prefix", "delete_", "DELETE"),
+                ("handler_prefix", "remove_", "DELETE"),
+            ],
+            "default": "",
+        },
         "lib_manifest": {
             "file": "Cargo.toml",
             "line_re": '^([a-z0-9_-]+) = "([0-9][0-9.]*)"$',

@@ -249,6 +249,13 @@ def test_component_verb_testfile_hooks_per_pack(spark):
     assert exv["3"] == "" and flv["3"] == "POST"        # no call vs create_order
     assert exv["5"] == "" and flv["5"] == "GET"         # app.route vs index
     assert exv["4"] == "DELETE" and flv["4"] == "DELETE"
+    # rustish (rust.rs:301-335): dotless call tiers, then handler
+    # prefix tiers, NO fallthrough — the same app.route rows fall to
+    # the handler (get_items -> GET) or to nothing ('index' has no
+    # rust rule, where flaskish says GET and kotlinish defaults GET)
+    rv = kind("rustish", "verb")
+    assert rv["0"] == "GET" and rv["1"] == "GET"
+    assert rv["3"] == "POST" and rv["5"] == ""
     assert kind("goish", "verb") == {}                  # trait no-op default
     # test_file: suffix families differ; '_' never wildcards
     assert kind("goish", "testfile")["pkg/auth_test.go"] == "true"
