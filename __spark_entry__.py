@@ -356,8 +356,8 @@ def _q_dialects(spark, sf_dir):
     handler_pick / should_not_include-file-stack / lib-manifest
     (get_libs) / import-resolve / clean_edges / assoc_name /
     is_component / endpoint-verb (call_contains, handler_prefix/eq,
-    call_method_eq, body_contains sources) / is_test_file /
-    dm-path-filter /
+    call_method_eq, body_contains, handler_method_prefix/eq
+    sources) / is_test_file / dm-path-filter /
     data_model_name / e2e-test-id / is_router_file /
     endpoint-path-filter / update_endpoint (verb_map, suffix_strip,
     name_is_verb styles) / is_extra_page / class_contains_datamodel /

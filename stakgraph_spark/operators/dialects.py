@@ -279,19 +279,28 @@ DIALECT_PACKS: dict[str, dict] = {
         # python.rs overrides neither resolve hook -> trait defaults
         # (identity, mod.rs:287-293); present to prove defaults flow
         "import_resolve": {"path_ops": [], "name_op": "identity"},
-        # python.rs:240-251: verbs inferred from the HANDLER name
-        # (prefix tiers + the 'index' special case), GET fallback —
-        # this pack never consults the call column
+        # python.rs:220-257, reference-exact: a verb-named decorator
+        # call wins first (:225-231 — the grammar constrains
+        # @ENDPOINT_VERB to ^get|post|put|delete$, python.rs:153, so
+        # the uppercased call IS the verb), then handler tiers over
+        # the METHOD name (the tail after '.', :233-239,
+        # case-sensitive) incl. the 'index' special case, with the
+        # GET fallback (:249-255 — both the unmatched-handler else
+        # and the no-handler arm say GET)
         "endpoint_verb": {
             "rules": [
-                ("handler_prefix", "get_", "GET"),
-                ("handler_eq", "index", "GET"),
-                ("handler_prefix", "post_", "POST"),
-                ("handler_prefix", "create_", "POST"),
-                ("handler_prefix", "delete_", "DELETE"),
-                ("handler_prefix", "remove_", "DELETE"),
-                ("handler_prefix", "put_", "PUT"),
-                ("handler_prefix", "update_", "PUT"),
+                ("call_method_eq", "get", "GET"),
+                ("call_method_eq", "post", "POST"),
+                ("call_method_eq", "put", "PUT"),
+                ("call_method_eq", "delete", "DELETE"),
+                ("handler_method_prefix", "get_", "GET"),
+                ("handler_method_eq", "index", "GET"),
+                ("handler_method_prefix", "post_", "POST"),
+                ("handler_method_prefix", "create_", "POST"),
+                ("handler_method_prefix", "delete_", "DELETE"),
+                ("handler_method_prefix", "remove_", "DELETE"),
+                ("handler_method_prefix", "put_", "PUT"),
+                ("handler_method_prefix", "update_", "PUT"),
             ],
             "default": "GET",
         },
@@ -1080,6 +1089,10 @@ VERB_CASES: list[tuple[int, str, str, str]] = [
     (10, "", "deletePerson", 'method: "DELETE"'),
     (11, "", "ambiguous", 'method: "POST"; bodyParams: nil'),
     (12, "", "opaque", "plain body"),
+    # python.rs:233-239: a DOTTED handler strips to its method name
+    # before the prefix tiers — flaskish sees get_stats (GET),
+    # rustish prefixes the full string (''), kotlinish defaults GET
+    (13, "", "api.get_stats", ""),
 ]
 
 # Planted filenames for is_test_file: each pack's contains/suffix
@@ -1939,6 +1952,18 @@ def endpoint_verb_sql(
         "handler_eq": lambda p: f"lower({handler_expr}) = {_sq(p)}",
         "call_method_eq": lambda p: f"{method} = {_sq(p)}",
         "body_contains": lambda p: f"position({_sq(p)} IN {body_expr}) > 0",
+        # python.rs:233-239: the handler's METHOD name — the tail
+        # after the last '.' (a dotted handler is receiver.method) —
+        # compared case-sensitively (python.rs does not lowercase;
+        # contrast rust.rs:324's to_lowercase, the handler_prefix
+        # source above)
+        "handler_method_prefix": lambda p: (
+            f"substr(regexp_extract({handler_expr}, '[^.]*$', 0), 1, {len(p)})"
+            f" = {_sq(p)}"
+        ),
+        "handler_method_eq": lambda p: (
+            f"regexp_extract({handler_expr}, '[^.]*$', 0) = {_sq(p)}"
+        ),
     }
     spec = pack["endpoint_verb"]
     arms = " ".join(

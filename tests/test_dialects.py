@@ -243,12 +243,16 @@ def test_component_verb_testfile_hooks_per_pack(spark):
     assert ex["0"] == "true" and ex["3"] == "true"      # App, NavBar
     assert ex["1"] == "false" and ex["2"] == "false"    # useItems, render_page
     assert ex["4"] == "false"                           # _private
-    # verb: expressish reads the call text, flaskish the handler name
+    # verb: expressish reads only the call text; flaskish is the
+    # python.rs:220-257 ladder — verb-named decorator call first,
+    # then METHOD-name (tail after '.') handler tiers, GET fallback
     exv, flv = kind("expressish", "verb"), kind("flaskish", "verb")
-    assert exv["2"] == "POST" and flv["2"] == "GET"     # router.post vs makeX
+    assert exv["2"] == "POST" and flv["2"] == "POST"    # both see router.post
     assert exv["3"] == "" and flv["3"] == "POST"        # no call vs create_order
     assert exv["5"] == "" and flv["5"] == "GET"         # app.route vs index
     assert exv["4"] == "DELETE" and flv["4"] == "DELETE"
+    # the dotted handler strips to get_stats for flaskish only
+    assert flv["13"] == "GET" and exv["13"] == ""
     # rustish (rust.rs:301-335): dotless call tiers, then handler
     # prefix tiers, NO fallthrough — the same app.route rows fall to
     # the handler (get_items -> GET) or to nothing ('index' has no
@@ -256,6 +260,7 @@ def test_component_verb_testfile_hooks_per_pack(spark):
     rv = kind("rustish", "verb")
     assert rv["0"] == "GET" and rv["1"] == "GET"
     assert rv["3"] == "POST" and rv["5"] == ""
+    assert rv["13"] == ""      # rust prefixes the FULL handler string
     assert kind("goish", "verb") == {}                  # trait no-op default
     # test_file: suffix families differ; '_' never wildcards
     assert kind("goish", "testfile")["pkg/auth_test.go"] == "true"
