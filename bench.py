@@ -564,10 +564,16 @@ def main() -> None:
     scaling = result.get("scaling")
     if scaling and scaling.get("protocol"):
         print("scaling protocol:", scaling.pop("protocol"))
+    # a reduced run (scaling off, or a non-default sf) writes to
+    # BENCH_SMOKE.json so it can never clobber the committed full-run
+    # record (a scaling-off sf0.01 smoke overwrote BENCH_FULL.json
+    # once this round; the guard makes that accident impossible)
+    is_full = DO_SCALING and SF_DIR == "/root/testdata/sf0.1"
+    record = "BENCH_FULL.json" if is_full else "BENCH_SMOKE.json"
     try:
-        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        with open(os.path.join(REPO, record), "w") as f:
             f.write(full_line + "\n")
-        print("full record (incl. protocol + per-leg diagnostics): BENCH_FULL.json")
+        print(f"full record (incl. protocol + per-leg diagnostics): {record}")
     except OSError:
         pass
     line = json.dumps(result, separators=(",", ":"))

@@ -44,7 +44,12 @@ def read_jsonl(spark: SparkSession, out_dir: str, name: str = "graph"):
     return nodes, edges
 
 
-def prepare_upload_nodes(nodes: DataFrame, now_epoch: int, tokenizer: str = "proxy") -> DataFrame:
+def prepare_upload_nodes(
+    nodes: DataFrame,
+    now_epoch: int,
+    tokenizer: str = "proxy",
+    vocab_path: str | None = None,
+) -> DataFrame:
     """Upload-time property stamping (NodeQueryBuilder.build,
     neo4j_utils.rs:61-90): every node row gains
 
@@ -65,7 +70,9 @@ def prepare_upload_nodes(nodes: DataFrame, now_epoch: int, tokenizer: str = "pro
                             (functions/bpe.py, lossless greedy
                             byte-pair encode via Arrow-batched pandas
                             UDF — the same python-boundary shape as
-                            the reference's tiktoken call).
+                            the reference's tiktoken call); pass
+                            vocab_path= to a published merges.txt /
+                            .tiktoken file for published-exact counts.
       date_added_to_graph   the upload timestamp (MERGE's $now).
 
     Pure column expressions (plus the optional BPE UDF); stamp at
@@ -78,9 +85,17 @@ def prepare_upload_nodes(nodes: DataFrame, now_epoch: int, tokenizer: str = "pro
         f"substr({h},17,4), substr({h},21,12))"
     )
     if tokenizer == "bpe":
-        from ..functions.bpe import token_count_bpe_udf
+        from ..functions.bpe import GPT2_PRETOK, load_ranks, token_count_bpe_udf
 
-        nodes = nodes.withColumn("token_count", token_count_bpe_udf()(nodes["body"]))
+        if vocab_path:
+            # published merges.txt / .tiktoken vocab (bpe.load_ranks):
+            # loaded once on the driver, broadcast, GPT-2 pre-tokenizer
+            # (published vocabs assume it) — published-exact counts
+            bc = nodes.sparkSession.sparkContext.broadcast(load_ranks(vocab_path))
+            f = token_count_bpe_udf(bc, GPT2_PRETOK)
+        else:
+            f = token_count_bpe_udf()
+        nodes = nodes.withColumn("token_count", f(nodes["body"]))
     else:
         nodes = nodes.selectExpr(
             "*", "CAST(size(split(trim(body), '\\\\s+')) AS BIGINT) AS token_count"
