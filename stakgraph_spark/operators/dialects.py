@@ -33,7 +33,16 @@ makes a "language" a PACK OF DATA, interpreted by fixed operators:
                   (name, version) line regex — requirements.txt vs
                   package.json vs go.mod vs Gemfile formats. A pack
                   without the key extracts NO libraries (the trait's
-                  None default -> Vec::new())
+                  None default -> Vec::new()). Optional richer shape
+                  mirroring toml.rs's lib_query (queries/toml.rs:
+                  26-50): `forms` is an ordered list of alternative
+                  (name, version) line regexes (the reference query's
+                  `[ (string) | (inline_table ... version ...) ]`
+                  alternation), and `section` scopes matches to lines
+                  under a specific `[header]` table (the query's
+                  `(#eq? @section "dependencies")` guard) — the
+                  nearest PRECEDING bracket-header line must equal
+                  `want`; lines before any header are out of scope
   import_resolve  resolve_import_path / resolve_import_name as an
                   ordered op LIST from a fixed vocabulary (trait
                   defaults are identity, mod.rs:287-293; react.rs:
@@ -246,7 +255,7 @@ from ..functions.paths import normalize_backend_path_sql
 from .extract import MENTION_RE, NUMSEG_RE, TESTREF_RE, TOOL_RE
 
 # ---------------------------------------------------------------------------
-# The shipped dialect packs (eleven "languages" with genuinely
+# The shipped dialect packs (twelve "languages" with genuinely
 # different behavior on the same planted input — see DIALECT_CASES).
 # ---------------------------------------------------------------------------
 
@@ -813,9 +822,21 @@ DIALECT_PACKS: dict[str, dict] = {
             ],
             "default": "",
         },
+        # toml.rs lib_query fidelity (queries/toml.rs:26-50): the
+        # reference parses Cargo.toml with a DEDICATED Toml stack
+        # whose query (a) scopes to the [dependencies] table
+        # (#eq? @section "dependencies", :28) and (b) accepts BOTH
+        # version forms — pkg = "1.0.0" (string, :33) and
+        # pkg = { version = "1.0.0", ... } (inline_table, :36-41).
+        # A dep before any header or under [dev-dependencies]
+        # extracts nothing.
         "lib_manifest": {
             "file": "Cargo.toml",
-            "line_re": '^([a-z0-9_-]+) = "([0-9][0-9.]*)"$',
+            "forms": [
+                '^([a-z0-9_-]+) = "([0-9][0-9.]*)"$',
+                '^([a-z0-9_-]+) = [{] version = "([0-9][0-9.]*)".*[}]$',
+            ],
+            "section": {"want": "dependencies"},
         },
         "filter_by_implements": True,
         # rust.rs:190-211: field_expression binds ONLY the field name
@@ -889,6 +910,29 @@ DIALECT_PACKS: dict[str, dict] = {
             "default": "",
         },
         "dm_path_filter": "CoreData",
+        "is_test": {"style": "name_prefix", "prefix": "test"},
+        "parent_resolve": {"style": "enclosing_range"},
+    },
+    # Svelte-ish (svelte.rs): a frontend-only Stack, deliberately
+    # SPARSE — no lib manifest, no endpoint hooks, classify_test is
+    # the trait default (empty rule list), and the pack declares NO
+    # request-template vocabulary of its own (request_finder only
+    # matches the fetch/verb call, svelte.rs:112-121 — planted
+    # templates pass through the slash-normalizer verbatim).
+    # Identifiers are markup TAGS, not class declarations
+    # ((tag_name), svelte.rs:134-136): the tag rule fires on the
+    # planted markup line every class-declaration pack ignores, and
+    # emits nothing for their declaration lines. is_test is
+    # starts_with("test") with NO underscore (svelte.rs:151-153);
+    # parents are the enclosing class_declaration walk-up
+    # (svelte.rs:88-95).
+    "svelteish": {
+        "rules": [("mention", MENTION_RE, True)],
+        "request_styles": [],
+        "test_classes": [],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        "identifier": {"re": "<([A-Za-z][A-Za-z0-9]*)"},
         "is_test": {"style": "name_prefix", "prefix": "test"},
         "parent_resolve": {"style": "enclosing_range"},
     },
@@ -966,10 +1010,19 @@ MANIFEST_CASES: list[tuple[int, str, str]] = [
     # angularish's scoped-only rule both take it, nextish's
     # tilde-only rule does not
     (14, "package.json", '"@angular/core": "^17.0.2",'),
+    # Cargo.toml rows exercise toml.rs's SECTION-SCOPED lib_query:
+    # serde sits BEFORE the [dependencies] header (section NULL ->
+    # dropped); anyhow (string form) and tokio (inline-table form)
+    # are inside it; criterion falls under [dev-dependencies] and is
+    # dropped (toml.rs:28 binds @section to "dependencies" only)
     (15, "Cargo.toml", 'serde = "1.0.193"'),
     (16, "Cargo.toml", "[dependencies]"),
     (17, "build.gradle.kts", 'implementation("io.ktor:ktor-server-core:2.3.4")'),
     (18, "build.gradle.kts", 'plugins { kotlin("jvm") version "1.9.10" }'),
+    (19, "Cargo.toml", 'anyhow = "1.0.79"'),
+    (20, "Cargo.toml", 'tokio = { version = "1.35.0", features = ["full"] }'),
+    (21, "Cargo.toml", "[dev-dependencies]"),
+    (22, "Cargo.toml", 'criterion = "0.5.1"'),
 ]
 
 # Planted endpoint-definition files, (pid, ep_file), for
@@ -1185,6 +1238,10 @@ IDENT_CASES: list[tuple[int, str]] = [
     (1, "export class CartComponent implements OnInit {"),
     (2, "data class Point(val x: Int)"),
     (3, "def helper():"),
+    # markup, not a declaration: only svelteish's (tag_name)-style
+    # rule fires here; every class-declaration rule ignores it (and
+    # svelteish ignores all four declaration lines above)
+    (4, "<CartWidget total={n} />"),
 ]
 
 # Planted class spans, (pcid, cls_file, cls_name, cls_start, cls_end),
@@ -1763,16 +1820,48 @@ def lib_extract_sql(pack: dict, dialect: str) -> str:
     executed by lang/mod.rs:176-183; is_lib_file mod.rs:61-63 picks
     the manifest): a full SELECT over the `mc(lno, fpath, line)` CTE
     emitting (lno, lib) for lines of the pack's manifest file that
-    match its (name, version) rule. Groups 1/2 of line_re are the
-    library name and version."""
+    match its (name, version) rule. Groups 1/2 of each form regex are
+    the library name and version; `forms` (default [line_re]) are
+    tried in order, first match wins — toml.rs's lib_query string /
+    inline-table alternation (queries/toml.rs:30-43). An optional
+    `section` scopes matches to the pack's `[header]` table
+    (toml.rs:28 `#eq? @section "dependencies"`): the section of a
+    line is the nearest preceding bracket-header, computed with one
+    running MAX window per file keyed on zero-padded lno (max skips
+    NULL non-header rows in both engines — no IGNORE NULLS syntax
+    divergence), so a dep line before any header, or under a
+    different table like [dev-dependencies], extracts nothing."""
     m = pack["lib_manifest"]
     rx = "regexp_like" if dialect == "spark" else "regexp_matches"
-    re_lit = _sq(m["line_re"])
-    return (
-        f"SELECT lno, regexp_extract(line, {re_lit}, 1) || '@' ||"
-        f" regexp_extract(line, {re_lit}, 2) AS lib"
-        f" FROM mc WHERE fpath = {_sq(m['file'])} AND {rx}(line, {re_lit})"
-    )
+    forms = m.get("forms", [m["line_re"]] if "line_re" in m else [])
+    lits = [_sq(f) for f in forms]
+    val = "CASE " + " ".join(
+        f"WHEN {rx}(line, {lit}) THEN regexp_extract(line, {lit}, 1)"
+        f" || '@' || regexp_extract(line, {lit}, 2)"
+        for lit in lits
+    ) + " END"
+    hit = " OR ".join(f"{rx}(line, {lit})" for lit in lits)
+    src = f"mc WHERE fpath = {_sq(m['file'])}"
+    if "section" in m:
+        # bracket-header detection is pure substr/|| (no regex, so
+        # one literal rendering serves both dialects); the window's
+        # string MAX of 'lpad(lno)||name' picks the latest header
+        is_hdr = (
+            "substr(line, 1, 1) = '[' AND"
+            " substr(line, length(line), 1) = ']'"
+        )
+        hdr_name = "substr(line, 2, length(line) - 2)"
+        sec = (
+            f"substr(max(CASE WHEN {is_hdr} THEN"
+            f" lpad(CAST(lno AS STRING), 9, '0') || {hdr_name} END)"
+            " OVER (PARTITION BY fpath ORDER BY lno"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 10)"
+        )
+        src = (
+            f"(SELECT lno, line, {sec} AS section FROM {src})"
+            f" WHERE section = {_sq(m['section']['want'])}"
+        )
+    return f"SELECT lno, {val} AS lib FROM {src} AND ({hit})"
 
 
 # resolve_import_path op vocabulary -> SQL renderer. Each op maps an

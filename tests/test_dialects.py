@@ -78,7 +78,12 @@ def test_lib_manifest_differs_per_pack(spark):
     assert libs("angularish") == {"@angular/core@17.0.2"}
     assert libs("goish") == {"github.com/go-chi/chi@5.0.8"}
     assert libs("railsish") == {"rails@7.0.4"}
-    assert libs("rustish") == {"serde@1.0.193"}  # Cargo.toml dep lines only
+    # rustish is toml.rs's SECTION-SCOPED query (toml.rs:26-50):
+    # anyhow matches the string form, tokio the inline-table
+    # `{ version = ... }` form; serde sits BEFORE the [dependencies]
+    # header (no section yet) and criterion under [dev-dependencies],
+    # so both are dropped — #eq? @section "dependencies" is strict
+    assert libs("rustish") == {"anyhow@1.0.79", "tokio@1.35.0"}
 
 
 def test_import_resolve_differs_per_pack(spark):
@@ -1096,6 +1101,47 @@ def test_kotlinish_swiftish_packs(spark):
         "0": "false", "1": "true", "2": "false",
         "3": "false", "4": "true", "5": "false",
     }
+
+
+def test_svelteish_pack(spark):
+    """Pack 12 (svelte.rs), the deliberately SPARSE frontend-only
+    Stack: markup-tag identifiers ((tag_name), svelte.rs:134-136)
+    fire on the planted markup line and on nothing else; NO
+    request-template vocabulary (svelte.rs's request_finder only
+    matches the fetch/verb call, :112-121 — templates pass through
+    the slash-normalizer verbatim); classify_test is the trait
+    default; is_test = starts_with('test'), no underscore
+    (svelte.rs:151-153); enclosing-range parents (:88-95); and the
+    hooks svelte.rs never implements (lib manifest, endpoint verbs,
+    dm path filter) emit NOTHING — absence is the trait's None
+    default, not an empty-string row."""
+    sv = _spark_rows(spark, "svelteish", D.DIALECT_PACKS["svelteish"])
+    assert sv == _oracle_rows({"svelteish": D.DIALECT_PACKS["svelteish"]})
+
+    def kind(rows, k):
+        return {r[2]: r[3] for r in rows if r[1] == k}
+
+    # tag identifiers: ONLY the markup row; declaration lines ignored
+    assert kind(sv, "ident") == {"4": "CartWidget"}
+    # no template styles: <id>/{id}/[uid] all survive; only the
+    # trait-level slash normalization applies (trailing slash strip)
+    nm = kind(sv, "norm")
+    assert nm["0"] == "/api/items/<id>"
+    assert nm["2"] == "/api/items/{id}"
+    assert nm["5"] == "/api/u/[uid]/posts"
+    assert nm["7"] == "/api/x/<id>/{z}"
+    # classify_test trait default
+    assert set(kind(sv, "test").values()) == {"UnitTest"}
+    # is_test: the no-underscore prefix (same rows as kotlinish)
+    assert kind(sv, "istest")["1"] == "true" and kind(sv, "istest")["4"] == "true"
+    assert kind(sv, "istest")["2"] == "false"
+    # enclosing-range parents: identical pick to flaskish's walk-up
+    assert kind(sv, "parent") == kind(
+        _spark_rows(spark, "flaskish", D.DIALECT_PACKS["flaskish"]), "parent"
+    )
+    # unimplemented hooks emit nothing
+    for k in ("lib", "verb", "dmfile", "import", "impname"):
+        assert kind(sv, k) == {}
 
 
 def test_empty_ruleset_pack_drives_production_build(spark):
