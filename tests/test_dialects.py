@@ -1272,3 +1272,70 @@ def test_restful_routes_property_vs_reference_transcription():
         assert got == want
 
     check()
+
+
+def test_lib_section_scoping_property_vs_reference_transcription():
+    """Differential property test for toml.rs's lib_query semantics
+    (queries/toml.rs:26-50) as rendered by lib_extract_sql: on
+    randomized manifests (headers, string-form deps, inline-table
+    deps, junk, in arbitrary order) the DuckDB rendering of the
+    pack's section-scoped multi-form rule equals a line-faithful
+    Python transcription — a dep counts iff the nearest PRECEDING
+    [header] equals 'dependencies' (#eq? @section, toml.rs:28) and
+    the line matches the string (:33) or inline-table (:36-41)
+    version form; deps before any header never count."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pack = D.DIALECT_PACKS["rustish"]
+    forms = [re.compile(f) for f in pack["lib_manifest"]["forms"]]
+    want_sec = pack["lib_manifest"]["section"]["want"]
+
+    names = st.sampled_from(["serde", "tokio", "anyhow", "rand", "log"])
+    vers = st.sampled_from(["1.0", "0.8.5", "2", "1.35.0"])
+    line = st.one_of(
+        st.sampled_from(
+            ["[dependencies]", "[dev-dependencies]", "[package]",
+             "[build-dependencies]", "# comment", "edition = 2021", ""]
+        ),
+        st.builds(lambda n, v: f'{n} = "{v}"', names, vers),
+        st.builds(
+            lambda n, v, extra: f'{n} = {{ version = "{v}"'
+            + (', features = ["full"] }' if extra else " }"),
+            names, vers, st.booleans(),
+        ),
+        # near-misses: unquoted version, version key absent
+        st.builds(lambda n, v: f"{n} = {v}", names, vers),
+        st.builds(lambda n, v: f'{n} = {{ path = "../{n}" }}', names, vers),
+    )
+
+    def model(lines):
+        sec, out = None, set()
+        for lno, txt in enumerate(lines):
+            if len(txt) >= 2 and txt[0] == "[" and txt[-1] == "]":
+                sec = txt[1:-1]
+                continue
+            if sec != want_sec:
+                continue
+            for f in forms:
+                m = f.match(txt)
+                if m and m.end() == len(txt):
+                    out.add((lno, f"{m.group(1)}@{m.group(2)}"))
+                    break
+        return out
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=14))
+    def check(lines):
+        lits = ", ".join(
+            f"({i}, 'Cargo.toml', '{t.replace(chr(39), chr(39) * 2)}')"
+            for i, t in enumerate(lines)
+        )
+        cte = f"SELECT * FROM (VALUES {lits}) AS t(lno, fpath, line)"
+        sql = D.lib_extract_sql(pack, "duckdb")
+        got = set(duckdb.sql(f"WITH mc AS ({cte}) {sql}").fetchall())
+        assert got == model(lines)
+
+    check()
