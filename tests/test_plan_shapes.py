@@ -17,8 +17,18 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _derivation_graph(spark):
+    # The driver's _graph localCheckpoints nodes/edges (truncating
+    # lineage to a materialized-table scan), so plan-shape pins must
+    # build the raw derivation: persist_intermediates=False keeps the
+    # full logical plan visible.
+    from stakgraph_spark.plans.pipeline import build_from_sf_dir
+
+    return build_from_sf_dir(spark, SF_SMALL, persist_intermediates=False)
+
+
 def test_edges_plan_broadcasts_dims_no_cartesian(spark):
-    g = ENTRY._graph(spark, SF_SMALL)
+    g = _derivation_graph(spark)
     plan = _physical(g["edges"])
     # every dictionary join is a broadcast hash join; nothing falls
     # back to a cartesian product or a nested-loop join
@@ -30,7 +40,7 @@ def test_edges_plan_broadcasts_dims_no_cartesian(spark):
 def test_triples_plan_prunes_node_payload(spark):
     """Catalyst column pruning keeps the triple path free of the
     node-payload rollups (file bodies, docs windows)."""
-    g = ENTRY._graph(spark, SF_SMALL)
+    g = _derivation_graph(spark)
     plan = _optimized(g["triples"])
     assert "collect_list" not in plan
 
