@@ -424,10 +424,21 @@ def main() -> None:
 
     tr = read_transcripts(spark, SF_DIR).persist()
     n_turns = tr.count()
-    g = build_graph(spark, tr, repartition_by_conv=False)
-    t0 = time.time()
-    g["triples"].count()
-    e2e_sec = time.time() - t0
+    # best-of-2 full recomputes: the headline e2e is otherwise a
+    # one-shot sample on a host whose CPU availability swings 2-3x
+    # (run-5's contended window put +70% of pure neighbor noise on
+    # it). Rebuilding the plan each pass forces fresh RDD lineage —
+    # a repeated count() on the SAME DataFrame would silently reuse
+    # the first job's shuffle map outputs and time only the final
+    # stage. Only `tr` stays persisted, as in a production run
+    # reading an already-materialized input table. Same best-of-N
+    # principle the duel and the per-query warm column apply.
+    e2e_sec = float("inf")
+    for _ in range(2):
+        g = build_graph(spark, tr, repartition_by_conv=False)
+        t0 = time.time()
+        g["triples"].count()
+        e2e_sec = min(e2e_sec, time.time() - t0)
     skew = _skew_torture(spark) if DO_SKEW else None
     corpus = _write_scale_corpus(spark, SCALE_EVENTS) if DO_SCALING else None
     spark.stop()

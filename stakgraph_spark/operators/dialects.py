@@ -255,7 +255,7 @@ from ..functions.paths import normalize_backend_path_sql
 from .extract import MENTION_RE, NUMSEG_RE, TESTREF_RE, TOOL_RE
 
 # ---------------------------------------------------------------------------
-# The shipped dialect packs (twelve "languages" with genuinely
+# The shipped dialect packs (thirteen "languages" with genuinely
 # different behavior on the same planted input — see DIALECT_CASES).
 # ---------------------------------------------------------------------------
 
@@ -936,6 +936,64 @@ DIALECT_PACKS: dict[str, dict] = {
         "is_test": {"style": "name_prefix", "prefix": "test"},
         "parent_resolve": {"style": "enclosing_range"},
     },
+    # Plain-TypeScript-backend-ish (queries/typescript.rs — the
+    # reference ships this as a SEPARATE Stack from react.rs): the
+    # .js->.ts import retarget, a '*'-version-accepting package.json
+    # rule, verb meta left UNSET on unmatched registrations, and
+    # member-call receivers bound to @CLASS_NAME rather than @OPERAND.
+    "typescriptish": {
+        "rules": [("testref", TESTREF_RE, True)],
+        "request_styles": ["colon"],
+        "test_classes": [],
+        "default_test_class": "UnitTest",
+        "handler_pick": "first",
+        # typescript.rs:23-35: package.json pairs under dependencies
+        # AND devDependencies; the version predicate is
+        # '^[\^~]?\d|\*' — the '*' alternation is this pack's
+        # distinguisher (expressish's broad rule requires a digit, so
+        # a star-pinned dep is typescriptish-only)
+        "lib_manifest": {
+            "file": "package.json",
+            "line_re": '^"([A-Za-z0-9@/_.-]+)": "([*]|[~^]?[0-9][0-9A-Za-z.-]*)",?$',
+        },
+        # typescript.rs:37-43: the five-condition union (shared with
+        # expressish, whose lib_file cites the same lines)
+        "lib_file": {
+            "starts_with": ["/usr"],
+            "contains": ["node_modules/", "/lib/", ".nvm/"],
+            "suffixes": [".d.ts"],
+        },
+        # typescript.rs:292-314: trim, strip './' / '/', strip one
+        # surrounding quote pair, then retarget a '.js' path to its
+        # '.ts' compilation source (the '.\\' arm is omitted like
+        # react's — windows separators never reach the corpus)
+        "import_resolve": {
+            "path_ops": ["trim", "strip_rel_prefix", "strip_quotes",
+                         "ext_js_to_ts"],
+            "name_op": "identity",
+        },
+        # typescript.rs:186-213 ('copied from react'): the
+        # registration call's method identifier maps exactly to the
+        # verb; anything else leaves the meta UNSET ('' — contrast
+        # kotlinish's same four rules with the GET default,
+        # kotlin.rs:219-221)
+        "endpoint_verb": {
+            "rules": [
+                ("call_method_eq", "get", "GET"),
+                ("call_method_eq", "post", "POST"),
+                ("call_method_eq", "put", "PUT"),
+                ("call_method_eq", "delete", "DELETE"),
+            ],
+            "default": "",
+        },
+        # typescript.rs:152-170: the member-call arm binds its
+        # (identifier) object to @CLASS_NAME, not @OPERAND — and
+        # format.rs:750-765 reads ONLY @OPERAND, so a simple receiver
+        # matches the query but emits no operand; deeper chains fall
+        # out of the (identifier)-object pattern entirely
+        "call_operand": {"bare": "emit", "simple": "anon",
+                         "dotted": "drop", "callres": "drop", "scoped": "drop"},
+    },
 }
 
 # ---------------------------------------------------------------------------
@@ -1023,6 +1081,10 @@ MANIFEST_CASES: list[tuple[int, str, str]] = [
     (20, "Cargo.toml", 'tokio = { version = "1.35.0", features = ["full"] }'),
     (21, "Cargo.toml", "[dev-dependencies]"),
     (22, "Cargo.toml", 'criterion = "0.5.1"'),
+    # a star-pinned dep ONLY typescriptish takes: its version
+    # predicate carries the '*' alternation (typescript.rs:30);
+    # expressish's broad rule requires a leading digit
+    (23, "package.json", '"left-pad": "*",'),
 ]
 
 # Planted endpoint-definition files, (pid, ep_file), for
@@ -1097,6 +1159,10 @@ IMPORT_CASES: list[tuple[int, str]] = [
     (3, "'quoted/mod'"),
     (4, "plain_mod"),
     (5, "a.b.c.D"),
+    # a '.js' path with TWO '.js' occurrences: typescriptish's
+    # ext_js_to_ts rewrites BOTH (typescript.rs:306-308 uses Rust's
+    # replace-all), while expressish leaves the extension alone
+    (6, "./mod.js/helpers.js"),
 ]
 
 # Planted finished-graph edges, (eid, src_type, edge_type, tgt_type):
@@ -1911,12 +1977,21 @@ def _op_dots_to_path_drop_last2(x: str) -> str:
     )
 
 
+def _op_ext_js_to_ts(x: str) -> str:
+    # typescript.rs:306-308: a path ending '.js' is retargeted to its
+    # '.ts' compilation source. Rust's String::replace swaps EVERY
+    # '.js' occurrence (not just the suffix) — replace() does the
+    # same in both dialects, so the quirk transcribes exactly.
+    return f"CASE WHEN {x} LIKE '%.js' THEN replace({x}, '.js', '.ts') ELSE {x} END"
+
+
 _PATH_OPS = {
     "trim": _op_trim,
     "strip_rel_prefix": _op_strip_rel_prefix,
     "strip_quotes": _op_strip_quotes,
     "dots_to_path_drop_last": _op_dots_to_path_drop_last,
     "dots_to_path_drop_last2": _op_dots_to_path_drop_last2,
+    "ext_js_to_ts": _op_ext_js_to_ts,
 }
 
 _NAME_OPS = {

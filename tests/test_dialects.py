@@ -78,6 +78,17 @@ def test_lib_manifest_differs_per_pack(spark):
     assert libs("angularish") == {"@angular/core@17.0.2"}
     assert libs("goish") == {"github.com/go-chi/chi@5.0.8"}
     assert libs("railsish") == {"rails@7.0.4"}
+    # typescriptish's version predicate carries typescript.rs:30's
+    # '*' alternation — the star-pinned dep is its alone — and its
+    # capture is the WHOLE version string (typescript.rs:30 #match-es
+    # the string node, specifier included), so the same rows that
+    # give expressish bare versions give typescriptish ^/~ ones
+    assert libs("typescriptish") == {
+        "express@^4.18.2",
+        "next@~13.4.0",
+        "@angular/core@^17.0.2",
+        "left-pad@*",
+    }
     # rustish is toml.rs's SECTION-SCOPED query (toml.rs:26-50):
     # anyhow matches the string form, tokio the inline-table
     # `{ version = ... }` form; serde sits BEFORE the [dependencies]
@@ -116,6 +127,14 @@ def test_import_resolve_differs_per_pack(spark):
     assert kind("goish", "impname")["5"] == "D"
     assert kind("goish", "impname")["4"] == "plain_mod"
     assert kind("expressish", "impname")["2"] == "java.util.List"
+    # typescriptish's ext_js_to_ts (typescript.rs:306-308): the '.js'
+    # path retargets to '.ts', and Rust's replace-all swaps BOTH
+    # occurrences; expressish strips the prefix but keeps '.js'
+    ts = kind("typescriptish", "import")
+    assert ts["6"] == "mod.ts/helpers.ts"
+    assert kind("expressish", "import")["6"] == "mod.js/helpers.js"
+    # a non-.js path passes the op untouched
+    assert ts["3"] == "quoted/mod"
 
 
 def test_clean_edges_and_assoc_name_per_pack(spark):
@@ -267,6 +286,14 @@ def test_component_verb_testfile_hooks_per_pack(spark):
     assert rv["3"] == "POST" and rv["5"] == ""
     assert rv["13"] == ""      # rust prefixes the FULL handler string
     assert kind("goish", "verb") == {}                  # trait no-op default
+    # typescriptish (typescript.rs:186-213) carries kotlinish's four
+    # call_method_eq rules but the '' default — an unmatched
+    # registration leaves the verb UNSET where kotlinish says GET
+    tsv, ktv = kind("typescriptish", "verb"), kind("kotlinish", "verb")
+    assert tsv["0"] == "GET" and ktv["0"] == "GET"      # r.get(...)
+    assert tsv["2"] == "POST" and tsv["4"] == "DELETE"
+    assert tsv["1"] == "" and ktv["1"] == "GET"         # app.route(...)
+    assert tsv["3"] == "" and ktv["3"] == "GET"         # no call at all
     # test_file: suffix families differ; '_' never wildcards
     assert kind("goish", "testfile")["pkg/auth_test.go"] == "true"
     assert kind("goish", "testfile")["src/main.go"] == "false"
@@ -968,6 +995,10 @@ def test_pgname_opconv_dmvariant_hooks_per_pack(spark):
         "4": "save",                # namespace bound to a non-OPERAND capture
     }
     assert kind("angularish", "opconv") == {}
+    # typescriptish (typescript.rs:152-170): the member arm binds its
+    # receiver to @CLASS_NAME, not @OPERAND — simple receivers match
+    # but emit no operand; deeper chains fall out of the pattern
+    assert kind("typescriptish", "opconv") == {"0": "save", "1": "save"}
 
     # the goish dm_within variant: snake(Customer)+'_store.go' finds
     # SaveCustomer; railsish's controller suffix is untouched by it
