@@ -491,9 +491,12 @@ def _q_token_join(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """Real codec round-trip (png/wav/bmp encoded then decoded by
+    functions/codecs.py; mp4 the declared stub): the oracle predicts
+    the decoded dims AND pixel statistics in closed form."""
     from stakgraph_spark.operators.multimodal import attach_media, extract_features
 
-    return extract_features(attach_media(_docs(spark, sf_dir))).drop("feat")
+    return extract_features(attach_media(_docs(spark, sf_dir)))
 
 
 # --- link_api_nodes parity surface (linker.rs:165-266) over the

@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake behind `decode_stub` (clearly marked; swap in
-PIL/torchaudio as a rule-pack at deploy time). Everything Spark-side
-— schema, conv-keyed partitioning, mapInPandas batch shape, UDF
-signatures — is real and tested. The deterministic fake makes even
-this path oracle-checkable (sql/data_templates.py reproduces the
-arithmetic).
+The decode step is REAL for png / wav / bmp (pure-stdlib codecs,
+functions/codecs.py: zlib-inflated and unfiltered PNG scanlines, RIFF
+WAV frames, padded bottom-up BMP rows) — the synthetic ingest encodes
+genuine bytes and every decode is a round-trip. Only the container
+format (mp4) remains a declared stub behind `decode_stub` (clearly
+marked; swap in pyav at deploy time). Everything Spark-side — schema,
+conv-keyed partitioning, mapInPandas batch shape, UDF signatures — is
+identical for real and stub arms, and the whole surface is
+oracle-checked: sql/data_templates.py predicts the decoded dimensions
+AND the decoded pixel/sample statistics arithmetically, so a decoder
+that mangles a filter type or a padding byte hash-mismatches.
 """
 
 from __future__ import annotations
@@ -16,70 +20,125 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from stakgraph_spark.functions.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+)
 
 MEDIA_SCHEMA = (
     "doc_id BIGINT, media_type STRING, payload BINARY, "
     "meta_codec STRING, meta_bytes BIGINT"
 )
 FEATURE_SCHEMA = (
-    "doc_id BIGINT, media_type STRING, width INT, height INT, "
-    "n_frames INT, feat ARRAY<DOUBLE>"
+    "doc_id BIGINT, media_type STRING, codec STRING, width INT, height INT, "
+    "n_frames INT, px_sum BIGINT, px_mean_e4 BIGINT"
 )
+
+# doc_id % 4 routes the synthetic corpus across the codec arms
+_ARMS = ("png", "wav", "bmp", "mp4")
+
+
+def _pixels(doc_id: int, n: int) -> bytes:
+    """Deterministic content ramp — the oracle reproduces its sum in
+    closed form, so the decoded statistics are differential-checkable
+    without the oracle running a decoder."""
+    return bytes((doc_id + i) % 256 for i in range(n))
 
 
 def attach_media(documents: DataFrame) -> DataFrame:
-    """Simulated ingest: derive an opaque binary payload column from
-    the document text (deterministic; stands in for an
-    image/audio/video blob column in the real table) plus typed
-    metadata."""
-    return documents.selectExpr(
-        "doc_id",
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type",
-        "CAST(text AS BINARY) AS payload",
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS meta_codec",
-        # octet_length, not length: payload size is BYTES (diverges
-        # from character count on any non-ASCII corpus)
-        "CAST(octet_length(text) AS BIGINT) AS meta_bytes",
-    )
-
-
-def decode_stub(payload: bytes, media_type: str) -> dict:
-    """STUB decode — deterministic fake. Production replaces this with
-    PIL.Image.open / soundfile.read / pyav frame sampling; the UDF
-    signature and batch shape stay identical.
-
-    Raises NotImplementedError for unknown media types (the
-    clearly-marked boundary)."""
-    n = len(payload)
-    if media_type == "image":
-        return {"width": n % 64 + 1, "height": n % 48 + 1, "n_frames": 1}
-    if media_type == "audio":
-        return {"width": 0, "height": 0, "n_frames": n % 1000 + 1}
-    if media_type == "video":
-        return {"width": n % 64 + 1, "height": n % 48 + 1, "n_frames": n % 120 + 1}
-    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
-
-
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Arrow-batched mapInPandas over the binary column: decode
-    (stub), emit shape metadata + a small deterministic feature
-    vector (mean byte value per 4-way stripe — stands in for a CNN /
-    mel-spectrogram embedding)."""
+    """Simulated ingest with REAL bytes: each document row gains a
+    binary payload encoded by the arm's actual codec (png/wav/bmp;
+    the mp4 arm carries the raw text bytes — its decode is the
+    declared stub) plus typed metadata. Dimensions derive from the
+    text's UTF-8 byte length L (DuckDB strlen — oracle-computable)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                d = decode_stub(bytes(payload), mt)
-                b = bytes(payload)
-                stripes = []
-                for s in range(4):
-                    seg = b[s::4]
-                    stripes.append(round(sum(seg) / len(seg), 4) if seg else 0.0)
-                rows.append((doc_id, mt, d["width"], d["height"], d["n_frames"], stripes))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                L = len(raw)
+                arm = _ARMS[d % 4]
+                if arm == "png":
+                    w, h = L % 64 + 1, L % 48 + 1
+                    payload, mt = encode_png(w, h, _pixels(d, w * h)), "image"
+                elif arm == "wav":
+                    n = L % 1000 + 1
+                    payload, mt = encode_wav(_pixels(d, n)), "audio"
+                elif arm == "bmp":
+                    w, h = L % 32 + 1, L % 24 + 1
+                    payload, mt = encode_bmp(w, h, _pixels(d, w * h)), "image"
+                else:
+                    payload, mt = raw, "video"
+                rows.append((d, mt, payload, arm, len(payload)))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "width", "height", "n_frames", "feat"]
+                rows,
+                columns=["doc_id", "media_type", "payload", "meta_codec", "meta_bytes"],
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_stub(payload: bytes, media_type: str) -> dict:
+    """STUB decode for container formats only — deterministic fake
+    dimensions from the payload byte length. Production replaces this
+    with pyav frame sampling; the UDF signature and batch shape stay
+    identical. Raises NotImplementedError for unknown media types
+    (the clearly-marked boundary)."""
+    n = len(payload)
+    if media_type == "video":
+        return {"width": n % 64 + 1, "height": n % 48 + 1, "n_frames": n % 120 + 1, "samples": None}
+    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+
+
+def decode(payload: bytes, codec: str, media_type: str) -> dict:
+    """Route to the real codec where one exists; the mp4 arm is the
+    remaining declared stub. `samples` carries the decoded pixel /
+    sample bytes (None on the stub arm)."""
+    if codec == "png":
+        w, h, px = decode_png(payload)
+        return {"width": w, "height": h, "n_frames": 1, "samples": px}
+    if codec == "bmp":
+        w, h, px = decode_bmp(payload)
+        return {"width": w, "height": h, "n_frames": 1, "samples": px}
+    if codec == "wav":
+        n, _rate, smp = decode_wav(payload)
+        return {"width": 0, "height": 0, "n_frames": n, "samples": smp}
+    return decode_stub(payload, media_type)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched mapInPandas over the binary column: decode (real
+    for png/wav/bmp, stub for mp4), emit shape metadata + decoded
+    pixel/sample statistics (sum and scaled mean — stands in for a
+    CNN / mel-spectrogram embedding; integer-exact so the oracle can
+    predict it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, codec, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["meta_codec"], pdf["payload"]
+            ):
+                d = decode(bytes(payload), codec, mt)
+                smp = d["samples"]
+                px_sum = sum(smp) if smp else 0
+                mean_e4 = (px_sum * 10000) // len(smp) if smp else 0
+                rows.append(
+                    (doc_id, mt, codec, d["width"], d["height"], d["n_frames"], px_sum, mean_e4)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "codec", "width", "height",
+                    "n_frames", "px_sum", "px_mean_e4",
+                ],
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
@@ -87,8 +146,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame
-    index (explode of the stub's frame count). Real decoders plug in
-    at decode_stub without touching this plan."""
+    index (explode of the decoded frame count). The mp4 decoder plugs
+    in at decode_stub without touching this plan."""
     feats = extract_features(media)
     return feats.selectExpr(
         "doc_id",

@@ -306,17 +306,48 @@ JOIN ({names_cte}) nm ON lower(nm.name) = t.tok"""
 # ---------------------------------------------------------------------------
 
 def media_features() -> str:
-    """Oracle for extract_features' metadata columns (the pandas-UDF
-    decode stub is deterministic arithmetic on payload BYTE length —
-    strlen = DuckDB's UTF-8 octet count, matching len(payload) of the
-    CAST(text AS BINARY) payload on any corpus, ASCII or not)."""
+    """Oracle for extract_features over the REAL codec arms
+    (multimodal.py): predicts the decoded dimensions AND the decoded
+    pixel/sample statistics arithmetically. The synthetic encoder
+    writes the content ramp pixels[i] = (doc_id + i) % 256, whose sum
+    over n decoded bytes has the closed form
+
+        S(d, n) = (n // 256) * 32640 + T(d % 256, n % 256)
+        T(s, r) = r*s + r(r-1)/2                       if s + r <= 256
+                = (256-s)*s + (256-s)(255-s)/2
+                  + (r-256+s)(r-257+s)/2               otherwise
+
+    so a Spark-side decoder that mis-reconstructs a PNG filter, drops
+    a BMP pad byte, or mis-parses a RIFF header hash-mismatches here.
+    Dimensions derive from strlen(text) — DuckDB's UTF-8 octet count,
+    matching the encoder's len(text.encode()) on any corpus. The mp4
+    arm is the declared stub: fake dims from the raw-text byte
+    length, zero statistics (no decoded samples)."""
     return """
-SELECT doc_id,
-       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN strlen(text) % 64 + 1 WHEN 1 THEN 0 ELSE strlen(text) % 64 + 1 END AS INT) AS width,
-       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN strlen(text) % 48 + 1 WHEN 1 THEN 0 ELSE strlen(text) % 48 + 1 END AS INT) AS height,
-       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN strlen(text) % 1000 + 1 ELSE strlen(text) % 120 + 1 END AS INT) AS n_frames
-FROM documents"""
+WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS L,
+                  CAST(doc_id % 4 AS INT) AS m FROM documents),
+dims AS (
+  SELECT doc_id, m, L,
+    CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'image' ELSE 'video' END AS media_type,
+    CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'mp4' END AS codec,
+    CAST(CASE m WHEN 0 THEN L % 64 + 1 WHEN 1 THEN 0 WHEN 2 THEN L % 32 + 1 ELSE L % 64 + 1 END AS INT) AS width,
+    CAST(CASE m WHEN 0 THEN L % 48 + 1 WHEN 1 THEN 0 WHEN 2 THEN L % 24 + 1 ELSE L % 48 + 1 END AS INT) AS height,
+    CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN L % 1000 + 1 WHEN 2 THEN 1 ELSE L % 120 + 1 END AS INT) AS n_frames
+  FROM b),
+n AS (SELECT *,
+    CAST(CASE m WHEN 0 THEN width * height WHEN 1 THEN n_frames
+               WHEN 2 THEN width * height ELSE 0 END AS BIGINT) AS npx,
+    CAST(doc_id % 256 AS BIGINT) AS s FROM dims),
+sums AS (SELECT *, (npx // 256) * 32640 +
+    CASE WHEN s + (npx % 256) <= 256
+         THEN (npx % 256) * s + (npx % 256) * ((npx % 256) - 1) // 2
+         ELSE (256 - s) * s + (256 - s) * (255 - s) // 2
+              + ((npx % 256) - 256 + s) * ((npx % 256) - 257 + s) // 2
+    END AS px_sum FROM n)
+SELECT doc_id, media_type, codec, width, height, n_frames,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(CASE WHEN npx > 0 THEN (px_sum * 10000) // npx ELSE 0 END AS BIGINT) AS px_mean_e4
+FROM sums"""
 
 
 def ivf_topk(query_ids: list[int], k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
