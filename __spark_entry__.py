@@ -173,19 +173,36 @@ def _q_uses_by_entity(spark, sf_dir):
 # --- graph query surface (SURVEY.md §2.3 / §2.12) ---
 
 def _q_class_filters(spark, sf_dir):
-    """find_nodes_by_type + find_nodes_by_name_contains in one tagged
-    query (merged to keep the contract surface at 50)."""
+    """The §2.3 node-predicate surface in one tagged query (merged to
+    keep the contract surface at 50): find_nodes_by_type +
+    find_nodes_by_name_contains (graph.rs:96,106-111), plus the
+    round-5 arms find_nodes_by_name (graph.rs:41),
+    find_nodes_by_file_ends_with (graph.rs:124-140), find_node_in_range
+    (graph.rs:142-146) and find_node_at (graph.rs:148-152) — each
+    previously pytest-only, now driver-checked."""
     from stakgraph_spark.operators.queryops import (
+        find_node_at,
+        find_node_in_range,
+        find_nodes_by_file_ends_with,
+        find_nodes_by_name,
         find_nodes_by_name_contains,
         find_nodes_by_type,
     )
 
     nodes = _graph(spark, sf_dir)["nodes"]
-    a = find_nodes_by_type(nodes, "Class").selectExpr("'by_type' AS fkind", "*")
-    b = find_nodes_by_name_contains(nodes, "Class", "Core").selectExpr(
-        "'contains' AS fkind", "*"
-    )
-    return a.unionByName(b)
+    arms = [
+        ("by_type", find_nodes_by_type(nodes, "Class")),
+        ("contains", find_nodes_by_name_contains(nodes, "Class", "Core")),
+        ("by_name", find_nodes_by_name(nodes, "Class", "OrderService")),
+        ("file_suffix", find_nodes_by_file_ends_with(nodes, "Class", "ties")),
+        ("in_range", find_node_in_range(nodes, "entities", 3)),
+        ("node_at", find_node_at(nodes, "Function", "corpus/conv_000000", 1)),
+    ]
+    out = None
+    for tag, df in arms:
+        t = df.selectExpr(f"'{tag}' AS fkind", "*")
+        out = t if out is None else out.unionByName(t)
+    return out
 
 
 def _q_nodes_with_uses_edges(spark, sf_dir):
@@ -196,11 +213,29 @@ def _q_nodes_with_uses_edges(spark, sf_dir):
 
 
 def _q_latest_per_type(spark, sf_dir):
-    from stakgraph_spark.operators.queryops import latest_per_type
-
-    return latest_per_type(_graph(spark, sf_dir)["nodes"], 3).select(
-        "node_key", "node_type", "name", "file", "start"
+    """latest-N-per-label window (queries.ts:189-203) plus the two
+    §2.7 pagination operators as round-5 tagged arms: SKIP/LIMIT
+    (queries.ts:55-61, row_number window) and the keyset cursor
+    restatement (sargable (node_type, node_key) > cursor predicate) —
+    both previously pytest-only, now driver-checked."""
+    from stakgraph_spark.operators.queryops import (
+        latest_per_type,
+        page_by_cursor,
+        paginate,
     )
+
+    nodes = _graph(spark, sf_dir)["nodes"]
+    cols = ["node_key", "node_type", "name", "file", "start"]
+    latest = latest_per_type(nodes, 3).select(cols).selectExpr("'latest' AS mode", "*")
+    offset = (
+        paginate(nodes.select(cols), ["node_type", "node_key"], skip=5, limit=5)
+        .selectExpr("'offset' AS mode", "*")
+    )
+    cursor = (
+        page_by_cursor(nodes.select(cols), ["node_type", "node_key"], ("Import", ""), 5)
+        .selectExpr("'cursor' AS mode", "*")
+    )
+    return latest.unionByName(offset).unionByName(cursor)
 
 
 def _q_search(spark, sf_dir):
@@ -261,11 +296,22 @@ def _q_prev_system(spark, sf_dir):
 
 
 def _q_extend_idempotent(spark, sf_dir):
-    from stakgraph_spark.operators.setops import extend_graph
+    """extend_graph self-union idempotency, plus graph_diff (the
+    compare_graphs / P-R primitive, §2.8 — previously pytest-only) as
+    round-5 tagged arms: diff the build edges against a perturbed copy
+    (CALLS family removed, one synthetic edge added) so BOTH diff
+    sides are non-empty and driver-checked."""
+    from stakgraph_spark.operators.setops import extend_graph, graph_diff
 
     g = _graph(spark, sf_dir)
     _, edges = extend_graph(g["nodes"], g["nodes"], g["edges"], g["edges"])
-    return edges
+    perturbed = g["edges"].where("edge_type != 'CALLS'").unionByName(
+        spark.sql("SELECT 'SYNTHETIC' AS edge_type, 'syn-src' AS source_key, 'syn-dst' AS target_key")
+    )
+    diff = graph_diff(g["edges"], perturbed).selectExpr(
+        "concat('diff_', side) AS op", "edge_type", "source_key", "target_key"
+    )
+    return edges.selectExpr("'extend' AS op", "*").unionByName(diff)
 
 
 def _q_filter_changed(spark, sf_dir):
@@ -641,7 +687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs_find_class_nodes + qs_name_contains -> qs_class_filters,
     qs_find_endpoint + qs_resource_nodes -> qs_point_lookups,
     sim_ann_topk + sim_ivf_topk -> sim_topk (every constituent
-    operator still runs, tagged)."""
+    operator still runs, tagged).
+
+    Round-5 (still exactly 50): previously pytest-only operators
+    became tagged arms of existing rows — qs_class_filters gained
+    by_name / file_ends_with / in_range / node_at, qs_latest_per_type
+    gained the SKIP/LIMIT page and the keyset-cursor page,
+    so_extend_idempotent gained both graph_diff sides; and
+    mm_media_features now round-trips REAL png/wav/bmp codecs against
+    a closed-form statistics oracle."""
     return {
         # round-4: new / merged
         "kg_dialects": _q_dialects,
@@ -772,6 +826,14 @@ walk AS (
             "SELECT 'by_type' AS fkind, * FROM nodes WHERE node_type = 'Class'"
             " UNION ALL SELECT 'contains', * FROM nodes"
             " WHERE node_type = 'Class' AND contains(name, 'Core')"
+            " UNION ALL SELECT 'by_name', * FROM nodes"
+            " WHERE node_type = 'Class' AND name = 'OrderService'"
+            " UNION ALL SELECT 'file_suffix', * FROM nodes"
+            " WHERE node_type = 'Class' AND suffix(file, 'ties')"
+            " UNION ALL SELECT 'in_range', * FROM nodes"
+            " WHERE file = 'entities' AND start <= 3 AND \"end\" >= 3"
+            " UNION ALL SELECT 'node_at', * FROM nodes"
+            " WHERE node_type = 'Function' AND file = 'corpus/conv_000000' AND start = 1"
         ),
         "qs_handler_join": q(
             "SELECT e.source_key, s.name AS source_name, s.node_type AS source_type,"
@@ -780,9 +842,16 @@ walk AS (
             " JOIN nodes t ON t.node_key = e.target_key WHERE e.edge_type = 'HANDLER'"
         ),
         "qs_latest_per_type": q(
-            "SELECT node_key, node_type, name, file, start FROM ("
+            "SELECT 'latest' AS mode, node_key, node_type, name, file, start FROM ("
             " SELECT *, row_number() OVER (PARTITION BY node_type"
             " ORDER BY start DESC, node_key ASC) AS rk FROM nodes) WHERE rk <= 3"
+            " UNION ALL SELECT * FROM ("
+            " SELECT 'offset' AS mode, node_key, node_type, name, file, start"
+            " FROM nodes ORDER BY node_type, node_key LIMIT 5 OFFSET 5)"
+            " UNION ALL SELECT * FROM ("
+            " SELECT 'cursor' AS mode, node_key, node_type, name, file, start"
+            " FROM nodes WHERE (node_type, node_key) > ('Import', '')"
+            " ORDER BY node_type, node_key LIMIT 5)"
         ),
         "qs_search": q(
             "SELECT * FROM ("
@@ -898,7 +967,12 @@ removedk AS (
             "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_system_idx"
             " FROM transcripts"
         ),
-        "so_extend_idempotent": q("SELECT edge_type, source_key, target_key FROM edges"),
+        "so_extend_idempotent": q(
+            "SELECT 'extend' AS op, edge_type, source_key, target_key FROM edges"
+            " UNION ALL SELECT 'diff_a', edge_type, source_key, target_key"
+            " FROM edges WHERE edge_type = 'CALLS'"
+            " UNION ALL SELECT 'diff_b', 'SYNTHETIC', 'syn-src', 'syn-dst'"
+        ),
         "so_filter_changed": q(
             "SELECT DISTINCT e.edge_type, e.source_key, e.target_key FROM edges e"
             " WHERE e.source_key IN (SELECT node_key FROM nodes WHERE file = 'corpus/conv_000000')"
