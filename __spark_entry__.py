@@ -35,6 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _GRAPH_CACHE: dict = {}
 _PKG_SRC_HASH: list = []
 
+# undirected traversal set for the qs_subtree shortest-path arm (one
+# constant so the Spark arm and the oracle rendering cannot drift)
+PATH_EDGE_TYPES = ("CONTAINS", "OF", "USES", "CALLS")
+
 
 def _package_src_hash() -> str:
     """md5 over every .py in the engine package, computed ONCE per
@@ -271,12 +275,26 @@ def _q_uncovered(spark, sf_dir):
 
 
 def _q_subtree(spark, sf_dir):
+    """Depth-bounded BFS expansion plus — round-5 tagged arm — the
+    distributed shortest path (queries.ts:519-548, previously
+    pytest-only): min-parent BFS from the repository root to the
+    planted OrderService class over undirected traversal edges, the
+    reconstructed path re-emitted as (step index, node_key) rows."""
     from stakgraph_spark.operators.materialize import REPO_KEY
-    from stakgraph_spark.operators.queryops import subtree
+    from stakgraph_spark.operators.queryops import shortest_path, subtree
 
     g = _graph(spark, sf_dir)
     roots = spark.createDataFrame([(REPO_KEY,)], "node_key STRING")
-    return subtree(g["edges"], roots, depth=3, edge_types=("CONTAINS",))
+    st = subtree(g["edges"], roots, depth=3, edge_types=("CONTAINS",)).selectExpr(
+        "'subtree' AS kind", "node_key", "CAST(depth AS INT) AS depth"
+    )
+    path = shortest_path(
+        g["edges"], REPO_KEY, "class-orderservice-entities-0",
+        max_depth=6, edge_types=PATH_EDGE_TYPES,
+    )
+    rows = [("path", k, i) for i, k in enumerate(path or [])]
+    pdf = spark.createDataFrame(rows, "kind STRING, node_key STRING, depth INT")
+    return st.unionByName(pdf)
 
 
 # --- set ops / ordered aggs / adjacency windows (SURVEY §2.2/§2.6/§2.8) ---
@@ -792,7 +810,7 @@ def _rulepacks_oracle(q) -> str:
 def oracle_sql() -> dict[str, str]:
     from stakgraph_spark.operators.materialize import REPO_KEY
     from stakgraph_spark.sql import data_templates as DT
-    from stakgraph_spark.sql.templates import q, subtree_sql
+    from stakgraph_spark.sql.templates import q, subtree_path_sql
 
     from stakgraph_spark.functions import paths as P
 
@@ -881,7 +899,10 @@ walk AS (
             " SELECT 1 FROM edges e WHERE e.target_key = n.node_key"
             " AND e.edge_type IN ('USES','CALLS')) ORDER BY node_key"
         ),
-        "qs_subtree": subtree_sql(REPO_KEY, 3, "CONTAINS"),
+        "qs_subtree": subtree_path_sql(
+            REPO_KEY, 3, "CONTAINS",
+            REPO_KEY, "class-orderservice-entities-0", 6, PATH_EDGE_TYPES,
+        ),
         "qs_search_index": q(
             "SELECT n.node_key, n.node_type, n.name, n.file, n.start, h.score"
             " FROM nodes n JOIN ("

@@ -528,3 +528,66 @@ walk AS (
   WHERE w.depth < {depth}
 )"""
     return q("SELECT node_key, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node_key", extra)
+
+
+def subtree_path_sql(
+    root_key: str,
+    depth: int,
+    edge_type: str,
+    from_key: str,
+    to_key: str,
+    max_depth: int,
+    path_edge_types: tuple[str, ...],
+) -> str:
+    """Tagged union of the subtree BFS (as subtree_sql) and an
+    undirected min-parent shortest path (queryops.shortest_path's
+    deterministic-parent BFS, queries.ts:519-548): enumerate bounded
+    walks, roll up to min depth per node, keep only parents whose own
+    min depth is exactly one less (the Spark frontier set), pick
+    min(parent), then reconstruct the parent chain from `to_key` and
+    re-index steps from the `from_key` side."""
+    types = ", ".join(f"'{t}'" for t in path_edge_types)
+    extra = f""",
+walk AS (
+  SELECT '{root_key}' AS node_key, 0 AS depth
+  UNION ALL
+  SELECT e.target_key, w.depth + 1
+  FROM walk w JOIN edges e ON e.source_key = w.node_key AND e.edge_type = '{edge_type}'
+  WHERE w.depth < {depth}
+),
+psym AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines CTEs by default, so without it each
+  -- recursion step of plevels re-derives the full edges pipeline
+  SELECT DISTINCT source_key AS src, target_key AS dst FROM edges WHERE edge_type IN ({types})
+  UNION
+  SELECT DISTINCT target_key AS src, source_key AS dst FROM edges WHERE edge_type IN ({types})
+),
+plevels AS (
+  SELECT '{from_key}' AS node_key, 0 AS depth, CAST(NULL AS STRING) AS parent
+  UNION
+  SELECT s.dst, l.depth + 1, l.node_key
+  FROM plevels l JOIN psym s ON s.src = l.node_key
+  WHERE l.depth < {max_depth}
+),
+pmind AS (SELECT node_key, MIN(depth) AS d FROM plevels GROUP BY node_key),
+ppar AS (
+  SELECT l.node_key, MIN(l.parent) AS parent
+  FROM plevels l
+  JOIN pmind mn ON mn.node_key = l.node_key AND mn.d = l.depth
+  JOIN pmind mp ON mp.node_key = l.parent AND mp.d = l.depth - 1
+  GROUP BY l.node_key
+),
+ppathr AS (
+  SELECT node_key, 0 AS step FROM (SELECT '{to_key}' AS node_key) t
+  WHERE EXISTS (SELECT 1 FROM pmind WHERE node_key = '{to_key}')
+  UNION ALL
+  SELECT p.parent, r.step + 1 FROM ppathr r JOIN ppar p ON p.node_key = r.node_key
+)"""
+    return q(
+        "SELECT 'subtree' AS kind, node_key, CAST(MIN(depth) AS INT) AS depth"
+        " FROM walk GROUP BY node_key"
+        " UNION ALL"
+        " SELECT 'path', r.node_key, CAST(mx.m - r.step AS INT)"
+        " FROM ppathr r, (SELECT MAX(step) AS m FROM ppathr) mx",
+        extra,
+    )
