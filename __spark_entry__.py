@@ -555,9 +555,9 @@ def _q_token_join(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Real codec round-trip (png/wav/bmp encoded then decoded by
-    functions/codecs.py; mp4 the declared stub): the oracle predicts
-    the decoded dims AND pixel statistics in closed form."""
+    """Real codec round-trip on all four arms (png/wav/bmp + RIFF AVI
+    video, encoded then decoded by functions/codecs.py): the oracle
+    predicts the decoded dims AND pixel statistics in closed form."""
     from stakgraph_spark.operators.multimodal import attach_media, extract_features
 
     return extract_features(attach_media(_docs(spark, sf_dir)))
@@ -712,8 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by_name / file_ends_with / in_range / node_at, qs_latest_per_type
     gained the SKIP/LIMIT page and the keyset-cursor page,
     so_extend_idempotent gained both graph_diff sides; and
-    mm_media_features now round-trips REAL png/wav/bmp codecs against
-    a closed-form statistics oracle."""
+    mm_media_features now round-trips REAL codecs on all four arms
+    (png/wav/bmp + RIFF AVI video) against a closed-form statistics
+    oracle."""
     return {
         # round-4: new / merged
         "kg_dialects": _q_dialects,

@@ -3,15 +3,18 @@
 The reference treats uploaded media as opaque payloads plus typed
 metadata; this engine's multimodal surface (operators/multimodal.py)
 additionally DECODES where a codec is implementable without
-third-party libraries. These three are — so the decode step is real
-for png/wav/bmp and remains a declared stub only for container
-formats (mp4) that genuinely need an external codec.
+third-party libraries. All four corpus arms are — png/wav/bmp plus
+RIFF AVI video (uncompressed 8-bit DIB frames) — so the decode step
+is real end-to-end; only formats that genuinely need an external
+codec (mp4/h264) stay behind the marked decode_stub boundary.
 
 Decoders are complete for the profiles the synthetic corpus emits and
 validate their input (PNG: signature, per-chunk CRC32, IHDR profile,
 all five scanline filters reconstructed; WAV: RIFF parse via stdlib
 `wave`; BMP: BITMAPFILEHEADER/BITMAPINFOHEADER, bottom-up rows,
-4-byte row padding stripped). Encoders exist so the synthetic corpus
+4-byte row padding stripped; AVI: RIFF/'AVI ' signature, avih
+dimensions + frame count cross-checked against the movi chunks, strf
+8-bit-DIB profile check). Encoders exist so the synthetic corpus
 carries REAL bytes and every decode in the pipeline is a genuine
 round-trip, differentially checked against a DuckDB oracle that
 predicts the decoded statistics arithmetically (mm_media_features).
@@ -150,11 +153,8 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
 def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
-    pad = (-width) % 4
     palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
-    rows = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up, per spec
-        rows += pixels[y * width : (y + 1) * width] + b"\x00" * pad
+    rows = _dib_rows(width, height, pixels)  # bottom-up padded, per spec
     offset = 14 + 40 + len(palette)
     header = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(rows), 2835, 2835, 256, 0)
@@ -177,3 +177,138 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         start = offset + i * (width + pad)
         out[y * width : (y + 1) * width] = data[start : start + width]
     return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI — RIFF container, uncompressed 8-bit DIB ('DIB ') video frames
+# ---------------------------------------------------------------------------
+# The video arm's container format. Frames are stored exactly like the
+# BMP pixel array (bottom-up rows, 4-byte padded) inside '00db' chunks
+# of a LIST/movi, with the standard hdrl (avih + strl{strh,strf}) and
+# an idx1 index. Reference parity: uploads.rs treats media as opaque
+# payload + typed metadata; decoding here is the engine's multimodal
+# extension (SURVEY §2 LLM-pipeline components), not a reference port.
+
+def _dib_rows(width: int, height: int, pixels: bytes) -> bytes:
+    """Bottom-up 4-byte-padded row packing shared by BMP and AVI DIB."""
+    pad = (-width) % 4
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):
+        rows += pixels[y * width : (y + 1) * width] + b"\x00" * pad
+    return bytes(rows)
+
+
+def _undib_rows(width: int, height: int, data: bytes, offset: int = 0) -> bytes:
+    pad = (-width) % 4
+    out = bytearray(width * height)
+    for i in range(height):
+        y = height - 1 - i
+        start = offset + i * (width + pad)
+        out[y * width : (y + 1) * width] = data[start : start + width]
+    return bytes(out)
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("frame buffer does not match dimensions")
+    n = len(frames)
+    dibs = [_dib_rows(width, height, f) for f in frames]
+    frame_sz = len(dibs[0]) if dibs else 0
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_sz * fps,    # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags = AVIF_HASINDEX
+        n, 0, 1,           # dwTotalFrames, dwInitialFrames, dwStreams
+        frame_sz,          # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,        # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,            # dwScale, dwRate -> fps frames/sec
+        0, n,              # dwStart, dwLength (frames)
+        frame_sz, 0, 0,    # dwSuggestedBufferSize, dwQuality, dwSampleSize
+        0, 0, width, height,  # rcFrame
+    )
+    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, frame_sz, 2835, 2835, 256, 0
+    ) + palette
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00db", d) for d in dibs)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: one AVIINDEXENTRY per frame; dwChunkOffset is relative to
+    # the start of the 'movi' list type fourcc (the common convention)
+    idx, off = bytearray(), 4
+    for d in dibs:
+        idx += struct.pack("<4sIII", b"00db", 0x10, off, len(d))  # AVIIF_KEYFRAME
+        off += 8 + len(d) + (len(d) & 1)
+    riff_body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    o = start
+    while o + 8 <= end:
+        tag = data[o : o + 4]
+        (size,) = struct.unpack_from("<I", data, o + 4)
+        yield tag, o + 8, size
+        o += 8 + size + (size & 1)
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, bytes]:
+    """-> (width, height, n_frames, concatenated frame pixels).
+
+    Full container parse: RIFF/'AVI ' signature, hdrl/avih header
+    (dimensions + frame count), strf profile check (8-bit DIB), then
+    every '00db'/'00dc' chunk of LIST/movi un-padded bottom-up. A
+    truncated movi or a frame-count mismatch raises."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = total = None
+    pixels = bytearray()
+    n_seen = 0
+    for tag, body_off, size in _walk_riff(data, 12, len(data)):
+        if tag != b"LIST":
+            continue
+        ltype = data[body_off : body_off + 4]
+        if ltype == b"hdrl":
+            for t2, o2, s2 in _walk_riff(data, body_off + 4, body_off + size):
+                if t2 == b"avih":
+                    hdr = struct.unpack_from("<14I", data, o2)
+                    total, width, height = hdr[4], hdr[8], hdr[9]
+                elif t2 == b"LIST" and data[o2 : o2 + 4] == b"strl":
+                    for t3, o3, _s3 in _walk_riff(data, o2 + 4, o2 + s2):
+                        if t3 == b"strf":
+                            info = struct.unpack_from("<IiiHHI", data, o3)
+                            if info[0] != 40 or info[4] != 8:
+                                raise ValueError("decoder supports 8-bit DIB streams only")
+        elif ltype == b"movi":
+            if width is None:
+                raise ValueError("movi before hdrl")
+            for t2, o2, s2 in _walk_riff(data, body_off + 4, body_off + size):
+                if t2 in (b"00db", b"00dc"):
+                    if o2 + s2 > len(data):
+                        raise ValueError("truncated frame chunk")
+                    pixels += _undib_rows(width, height, data, o2)
+                    n_seen += 1
+    if width is None or total is None:
+        raise ValueError("missing avih header")
+    if n_seen != total:
+        raise ValueError(f"frame count mismatch: header {total}, movi {n_seen}")
+    return width, height, n_seen, bytes(pixels)

@@ -1,17 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is REAL for png / wav / bmp (pure-stdlib codecs,
-functions/codecs.py: zlib-inflated and unfiltered PNG scanlines, RIFF
-WAV frames, padded bottom-up BMP rows) — the synthetic ingest encodes
-genuine bytes and every decode is a round-trip. Only the container
-format (mp4) remains a declared stub behind `decode_stub` (clearly
-marked; swap in pyav at deploy time). Everything Spark-side — schema,
-conv-keyed partitioning, mapInPandas batch shape, UDF signatures — is
-identical for real and stub arms, and the whole surface is
-oracle-checked: sql/data_templates.py predicts the decoded dimensions
-AND the decoded pixel/sample statistics arithmetically, so a decoder
-that mangles a filter type or a padding byte hash-mismatches.
+The decode step is REAL for all four arms (pure-stdlib codecs,
+functions/codecs.py): zlib-inflated and filter-reconstructed PNG
+scanlines, RIFF WAV frames, padded bottom-up BMP rows, and RIFF AVI
+video (hdrl/avih parse + per-'00db'-chunk 8-bit DIB frames) — the
+synthetic ingest encodes genuine bytes and every decode is a genuine
+container round-trip. `decode_stub` remains only as the clearly
+marked extension boundary for formats with no pure-stdlib codec
+(e.g. mp4/h264 — swap in pyav at deploy time; the UDF signature and
+batch shape stay identical). The whole surface is oracle-checked:
+sql/data_templates.py predicts the decoded dimensions AND the decoded
+pixel/sample statistics arithmetically, so a decoder that mangles a
+filter type, a padding byte, or a frame boundary hash-mismatches.
 """
 
 from __future__ import annotations
@@ -22,9 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from stakgraph_spark.functions.codecs import (
+    decode_avi,
     decode_bmp,
     decode_png,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_png,
     encode_wav,
@@ -40,7 +43,7 @@ FEATURE_SCHEMA = (
 )
 
 # doc_id % 4 routes the synthetic corpus across the codec arms
-_ARMS = ("png", "wav", "bmp", "mp4")
+_ARMS = ("png", "wav", "bmp", "avi")
 
 
 def _pixels(doc_id: int, n: int) -> bytes:
@@ -52,10 +55,9 @@ def _pixels(doc_id: int, n: int) -> bytes:
 
 def attach_media(documents: DataFrame) -> DataFrame:
     """Simulated ingest with REAL bytes: each document row gains a
-    binary payload encoded by the arm's actual codec (png/wav/bmp;
-    the mp4 arm carries the raw text bytes — its decode is the
-    declared stub) plus typed metadata. Dimensions derive from the
-    text's UTF-8 byte length L (DuckDB strlen — oracle-computable)."""
+    binary payload encoded by the arm's actual codec (png/wav/bmp/avi)
+    plus typed metadata. Dimensions derive from the text's UTF-8 byte
+    length L (DuckDB strlen — oracle-computable)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,7 +77,10 @@ def attach_media(documents: DataFrame) -> DataFrame:
                     w, h = L % 32 + 1, L % 24 + 1
                     payload, mt = encode_bmp(w, h, _pixels(d, w * h)), "image"
                 else:
-                    payload, mt = raw, "video"
+                    w, h, nf = L % 32 + 1, L % 24 + 1, L % 24 + 1
+                    px = _pixels(d, w * h * nf)
+                    frames = [px[i * w * h : (i + 1) * w * h] for i in range(nf)]
+                    payload, mt = encode_avi(w, h, frames), "video"
                 rows.append((d, mt, payload, arm, len(payload)))
             yield pd.DataFrame(
                 rows,
@@ -86,21 +91,18 @@ def attach_media(documents: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
-    """STUB decode for container formats only — deterministic fake
-    dimensions from the payload byte length. Production replaces this
-    with pyav frame sampling; the UDF signature and batch shape stay
-    identical. Raises NotImplementedError for unknown media types
-    (the clearly-marked boundary)."""
-    n = len(payload)
-    if media_type == "video":
-        return {"width": n % 64 + 1, "height": n % 48 + 1, "n_frames": n % 120 + 1, "samples": None}
-    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    """The clearly-marked extension boundary: every codec the synthetic
+    corpus emits (png/wav/bmp/avi) decodes for real; a format with no
+    pure-stdlib codec (mp4/h264, webp, ...) plugs in here (pyav/PIL at
+    deploy time — the UDF signature and batch shape stay identical)."""
+    raise NotImplementedError(
+        f"no pure-stdlib decoder for media_type={media_type!r}; plug a codec in here"
+    )
 
 
 def decode(payload: bytes, codec: str, media_type: str) -> dict:
-    """Route to the real codec where one exists; the mp4 arm is the
-    remaining declared stub. `samples` carries the decoded pixel /
-    sample bytes (None on the stub arm)."""
+    """Route to the real codec — all four corpus arms have one.
+    `samples` carries the decoded pixel / sample bytes."""
     if codec == "png":
         w, h, px = decode_png(payload)
         return {"width": w, "height": h, "n_frames": 1, "samples": px}
@@ -110,12 +112,15 @@ def decode(payload: bytes, codec: str, media_type: str) -> dict:
     if codec == "wav":
         n, _rate, smp = decode_wav(payload)
         return {"width": 0, "height": 0, "n_frames": n, "samples": smp}
+    if codec == "avi":
+        w, h, n, px = decode_avi(payload)
+        return {"width": w, "height": h, "n_frames": n, "samples": px}
     return decode_stub(payload, media_type)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched mapInPandas over the binary column: decode (real
-    for png/wav/bmp, stub for mp4), emit shape metadata + decoded
+    codecs on all four arms), emit shape metadata + decoded
     pixel/sample statistics (sum and scaled mean — stands in for a
     CNN / mel-spectrogram embedding; integer-exact so the oracle can
     predict it)."""
@@ -145,9 +150,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame
-    index (explode of the decoded frame count). The mp4 decoder plugs
-    in at decode_stub without touching this plan."""
+    """Frame sampling: one output row per sampled frame index
+    (explode of the REAL decoded frame count — the avi arm's movi
+    chunks). A new container codec plugs in at decode_stub without
+    touching this plan."""
     feats = extract_features(media)
     return feats.selectExpr(
         "doc_id",

@@ -318,25 +318,26 @@ def media_features() -> str:
                   + (r-256+s)(r-257+s)/2               otherwise
 
     so a Spark-side decoder that mis-reconstructs a PNG filter, drops
-    a BMP pad byte, or mis-parses a RIFF header hash-mismatches here.
-    Dimensions derive from strlen(text) — DuckDB's UTF-8 octet count,
-    matching the encoder's len(text.encode()) on any corpus. The mp4
-    arm is the declared stub: fake dims from the raw-text byte
-    length, zero statistics (no decoded samples)."""
+    a BMP pad byte, mis-parses a RIFF header, or splits an AVI movi
+    frame boundary hash-mismatches here. Dimensions derive from
+    strlen(text) — DuckDB's UTF-8 octet count, matching the encoder's
+    len(text.encode()) on any corpus. All four arms are REAL codecs;
+    the avi arm's npx spans every frame (width*height*n_frames)."""
     return """
 WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS L,
                   CAST(doc_id % 4 AS INT) AS m FROM documents),
 dims AS (
   SELECT doc_id, m, L,
     CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'image' ELSE 'video' END AS media_type,
-    CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'mp4' END AS codec,
-    CAST(CASE m WHEN 0 THEN L % 64 + 1 WHEN 1 THEN 0 WHEN 2 THEN L % 32 + 1 ELSE L % 64 + 1 END AS INT) AS width,
-    CAST(CASE m WHEN 0 THEN L % 48 + 1 WHEN 1 THEN 0 WHEN 2 THEN L % 24 + 1 ELSE L % 48 + 1 END AS INT) AS height,
-    CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN L % 1000 + 1 WHEN 2 THEN 1 ELSE L % 120 + 1 END AS INT) AS n_frames
+    CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'avi' END AS codec,
+    CAST(CASE m WHEN 0 THEN L % 64 + 1 WHEN 1 THEN 0 WHEN 2 THEN L % 32 + 1 ELSE L % 32 + 1 END AS INT) AS width,
+    CAST(CASE m WHEN 0 THEN L % 48 + 1 WHEN 1 THEN 0 WHEN 2 THEN L % 24 + 1 ELSE L % 24 + 1 END AS INT) AS height,
+    CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN L % 1000 + 1 WHEN 2 THEN 1 ELSE L % 24 + 1 END AS INT) AS n_frames
   FROM b),
 n AS (SELECT *,
     CAST(CASE m WHEN 0 THEN width * height WHEN 1 THEN n_frames
-               WHEN 2 THEN width * height ELSE 0 END AS BIGINT) AS npx,
+               WHEN 2 THEN width * height
+               ELSE width * height * n_frames END AS BIGINT) AS npx,
     CAST(doc_id % 256 AS BIGINT) AS s FROM dims),
 sums AS (SELECT *, (npx // 256) * 32640 +
     CASE WHEN s + (npx % 256) <= 256

@@ -1,7 +1,9 @@
 """Pure-stdlib media codecs (functions/codecs.py): round-trips, the
 full PNG filter set, validation rejects, and the multimodal surface's
 arm routing. Closes the round-4 'What's missing' decode-stub item for
-png/wav/bmp; mp4 stays the declared stub."""
+ALL FOUR corpus arms (png/wav/bmp + RIFF AVI video); decode_stub
+remains only as the extension boundary for formats with no
+pure-stdlib codec."""
 
 import struct
 import zlib
@@ -10,9 +12,11 @@ import pytest
 
 from stakgraph_spark.functions.codecs import (
     _PNG_SIG,
+    decode_avi,
     decode_bmp,
     decode_png,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_png,
     encode_wav,
@@ -95,14 +99,33 @@ def test_bmp_rejects_non_bmp():
         decode_bmp(b"XX" + bytes(64))
 
 
-def test_mp4_arm_stays_declared_stub():
+@pytest.mark.parametrize("w,h,nf", [(1, 1, 1), (5, 3, 4), (32, 24, 24), (7, 2, 1), (2, 9, 3)])
+def test_avi_roundtrip(w, h, nf):
+    px = _ramp(4242, w * h * nf)
+    frames = [px[i * w * h : (i + 1) * w * h] for i in range(nf)]
+    assert decode_avi(encode_avi(w, h, frames)) == (w, h, nf, px)
+
+
+def test_avi_rejects_non_avi_and_frame_count_mismatch():
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFX" + bytes(64))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    good = bytearray(encode_avi(3, 2, [_ramp(0, 6), _ramp(6, 6)]))
+    # lie in avih dwTotalFrames (offset: RIFF(12) + LIST hdr(12) +
+    # avih hdr(8) + 4*4 bytes into the 14-DWORD avih body)
+    struct.pack_into("<I", good, 12 + 12 + 8 + 16, 9)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi(bytes(good))
+
+
+def test_unknown_media_type_is_the_declared_boundary():
     from stakgraph_spark.operators.multimodal import decode, decode_stub
 
-    d = decode(b"x" * 130, "mp4", "video")
-    assert (d["width"], d["height"], d["n_frames"]) == (130 % 64 + 1, 130 % 48 + 1, 130 % 120 + 1)
-    assert d["samples"] is None
     with pytest.raises(NotImplementedError):
         decode_stub(b"", "hologram")
+    with pytest.raises(NotImplementedError):
+        decode(b"x" * 16, "mp4", "video")  # no pure-stdlib h264 codec
 
 
 def test_decode_routes_real_codecs():
@@ -112,3 +135,5 @@ def test_decode_routes_real_codecs():
     assert decode(encode_png(4, 3, px), "png", "image")["samples"] == px
     assert decode(encode_bmp(4, 3, px), "bmp", "image")["samples"] == px
     assert decode(encode_wav(px), "wav", "audio")["n_frames"] == 12
+    d = decode(encode_avi(4, 3, [px]), "avi", "video")
+    assert (d["width"], d["height"], d["n_frames"], d["samples"]) == (4, 3, 1, px)
