@@ -96,3 +96,37 @@ def test_submit_table_write_mode(spark, tmp_path):
     # re-run end-to-end (createOrReplace → drop/create fallback path)
     clean()
     assert submit_build.main(argv) == 0
+
+
+def test_submit_resume_dir_mode(spark, tmp_path):
+    # --resume-dir routes through the manifest-checkpointed
+    # ResumableBuilder; output must equal the single-shot build and a
+    # re-submit must skip the completed units (manifest row count
+    # unchanged — the repository-hash skip, handlers.rs:112-131).
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import submit_build
+    finally:
+        sys.path.pop(0)
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "ckpt")
+    argv = ["--input", SF_SMALL, "--output", out,
+            "--resume-dir", ckpt, "--tables", "edges,triples"]
+    assert submit_build.main(argv) == 0
+    manifest = json.load(open(f"{out}/_build_manifest.json"))
+
+    from stakgraph_spark.plans.pipeline import build_from_sf_dir
+    from stakgraph_spark.session import get_spark
+    from stakgraph_spark.streaming.incremental import ResumableBuilder
+
+    spark = get_spark(master="local[8]")  # main() stopped the session
+    stages = build_from_sf_dir(spark, SF_SMALL)
+    assert manifest["tables"]["edges"] == stages["edges"].count()
+    assert manifest["tables"]["triples"] == stages["triples"].count()
+
+    rows_before = ResumableBuilder(ckpt).manifest(spark).count()
+    assert submit_build.main(argv) == 0  # re-submit: all units skipped
+    spark = get_spark(master="local[8]")
+    assert ResumableBuilder(ckpt).manifest(spark).count() == rows_before
