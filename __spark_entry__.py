@@ -540,9 +540,29 @@ def _q_chunk_text(spark, sf_dir):
 
 
 def _q_weighted_pool(spark, sf_dir):
-    from stakgraph_spark.operators.embedpool import weighted_pool
+    """Two tagged arms: 'emb' = weighted_pool over the embeddings
+    table (the original surface); 'chain' = the reference's FULL
+    chunk->embed->pool chain (embedding.rs:49-77, :24-47, :96-104)
+    over documents — chunk_text into embed_chunks_vec's deterministic
+    trigram featurizer (shuffle-free array exprs) into the same
+    weighted_pool operator."""
+    from stakgraph_spark.operators.embedpool import (
+        chunk_text,
+        embed_chunks_vec,
+        weighted_pool,
+    )
 
-    return weighted_pool(_embs(spark, sf_dir))
+    pool = weighted_pool(_embs(spark, sf_dir)).selectExpr(
+        "'emb' AS arm", "CAST(label AS STRING) AS label", "dim", "pooled"
+    )
+    docs = _docs(spark, sf_dir).where("length(text) >= 3")
+    chain_in = embed_chunks_vec(chunk_text(docs)).selectExpr(
+        "CAST(label AS STRING) AS label", "vec_id", "embedding"
+    )
+    chain = weighted_pool(chain_in).selectExpr(
+        "'chain' AS arm", "label", "dim", "pooled"
+    )
+    return pool.unionByName(chain)
 
 
 def _q_token_join(spark, sf_dir):
@@ -1026,7 +1046,7 @@ removedk AS (
             " JOIN c ON c.doc_id = a.doc_id JOIN d ON d.doc_id = a.doc_id"
         ),
         "em_chunk_text": DT.chunk_text(),
-        "em_weighted_pool": DT.weighted_pool(),
+        "em_weighted_pool": DT.weighted_pool_with_chain(),
         "mm_media_features": DT.media_features(),
     }
     from stakgraph_spark.sources.entities import entities_cte

@@ -37,6 +37,61 @@ def chunk_text(documents: DataFrame, chunk_chars: int = CHUNK_CHARS) -> DataFram
     ).where("chunk <> ''")
 
 
+def embed_chunks_vec(chunks: DataFrame, dim: int = 16) -> DataFrame:
+    """The EMBED stage of the reference's chunk->embed->pool chain
+    (embedding.rs:24-47 runs BGE-small over each chunk; :96-104 pools).
+    The container has no model runtime, so the embedder is a
+    DETERMINISTIC character-trigram featurizer with the same dataflow
+    shape: each trigram hashes to one of `dim` buckets by fixed small
+    primes (no engine hash() — those differ across engines), bucket
+    counts L2-normalize into the chunk vector, 6-dp rounded like
+    weighted_pool. Swapping in a real model = replacing this column
+    expression with an Arrow-batched pandas UDF of the same
+    (label, vec_id) -> embedding signature.
+
+    Entirely array expressions inside whole-stage codegen: embedding
+    is embarrassingly parallel — NO shuffle at any scale (the pool
+    step downstream owns the per-doc shuffle). -> (label, vec_id,
+    embedding ARRAY<DOUBLE>), directly poolable by weighted_pool.
+    """
+    grams = (
+        "CASE WHEN length(chunk) >= 3 THEN transform(sequence(1, length(chunk) - 2),"
+        " i -> (ascii(substring(chunk, i, 1)) * 31 + ascii(substring(chunk, i + 1, 1)) * 7"
+        f" + ascii(substring(chunk, i + 2, 1))) % {dim}"
+        ") ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    return (
+        chunks.selectExpr("doc_id AS label", "chunk_idx AS vec_id", f"{grams} AS grams")
+        .selectExpr(
+            "label",
+            "vec_id",
+            f"transform(sequence(0, {dim} - 1), d -> size(filter(grams, x -> x = d))) AS cnts",
+        )
+        .selectExpr(
+            "label",
+            "vec_id",
+            "cnts",
+            "sqrt(aggregate(cnts, 0.0d, (a, c) -> a + CAST(c AS DOUBLE) * c)) AS nrm",
+        )
+        .selectExpr(
+            "label",
+            "vec_id",
+            "transform(cnts, c -> CASE WHEN nrm = 0.0d THEN 0.0d"
+            " ELSE floor(CAST(c AS DOUBLE) / nrm * 1000000.0d + 0.5d) / 1000000.0d END)"
+            " AS embedding",
+        )
+    )
+
+
+def embed_chunks(chunks: DataFrame, dim: int = 16) -> DataFrame:
+    """embed_chunks_vec flattened to (doc_id, chunk_idx, dim, val) —
+    the hash-comparable form (array rendering differs across
+    engines; the flat form compares exactly)."""
+    return embed_chunks_vec(chunks, dim).selectExpr(
+        "label AS doc_id", "vec_id AS chunk_idx", "posexplode(embedding) AS (dim, val)"
+    )
+
+
 def weighted_pool(embeddings: DataFrame, first_weight: float = 1.2) -> DataFrame:
     """Pool member vectors per label into one L2-normalized vector;
     the first member (min vec_id) weighs `first_weight`

@@ -256,13 +256,13 @@ def fingerprint() -> str:
 # embedding pipeline (chunking + pooled vectors)
 # ---------------------------------------------------------------------------
 
-def chunk_text(chunk_chars: int = 400) -> str:
+def chunk_text(chunk_chars: int = 400, source: str = "documents") -> str:
     return f"""
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        substring(text, i * {chunk_chars} + 1, {chunk_chars}) AS chunk
 FROM (SELECT doc_id, text,
              unnest(range(0, CAST(ceil(length(text) / {chunk_chars}.0) AS INT))) AS i
-      FROM documents)
+      FROM {source})
 WHERE substring(text, i * {chunk_chars} + 1, {chunk_chars}) <> ''"""
 
 
@@ -287,6 +287,65 @@ normed AS (
 SELECT label, dim,
        floor((mean_val / norm) * 1000000.0 + CASE WHEN mean_val >= 0 THEN 0.5 ELSE -0.5 END) / 1000000.0 AS pooled
 FROM normed"""
+
+
+def weighted_pool_with_chain(
+    first_weight: float = 1.2, dim: int = 16, chunk_chars: int = 400
+) -> str:
+    """Two-arm oracle for em_weighted_pool: 'emb' = the original pool
+    over the embeddings table (weighted_pool() above, untouched —
+    em_attach's CTE keeps reusing it); 'chain' = the FULL reference
+    chain chunk->embed->pool (embedding.rs:49-77, :24-47, :96-104)
+    over documents, with embed_chunks_vec's deterministic trigram
+    featurizer transcribed into DuckDB list comprehensions. Same
+    fixed-prime bucket arithmetic, same 6-dp roundings at the same
+    two places (per-chunk component, pooled component)."""
+    return f"""
+WITH docs3 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+c AS ({chunk_text(chunk_chars, source="docs3")}),
+g AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN length(chunk) >= 3
+              THEN list_transform(range(1, length(chunk) - 1), i ->
+                     (ascii(substring(chunk, i, 1)) * 31
+                      + ascii(substring(chunk, i + 1, 1)) * 7
+                      + ascii(substring(chunk, i + 2, 1))) % {dim})
+              ELSE [] END AS grams
+  FROM c),
+v AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(range(0, {dim}), d -> len(list_filter(grams, x -> x = d))) AS cnts
+  FROM g),
+nv AS (
+  SELECT doc_id, chunk_idx, cnts,
+         sqrt(list_aggregate(list_transform(cnts, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+  FROM v),
+u AS (
+  SELECT doc_id, chunk_idx, nrm,
+         generate_subscripts(cnts, 1) - 1 AS dim,
+         unnest(cnts) AS cnt
+  FROM nv),
+cf AS (
+  SELECT CAST(doc_id AS VARCHAR) AS label,
+         CASE WHEN chunk_idx = min(chunk_idx) OVER (PARTITION BY doc_id)
+              THEN {first_weight} ELSE 1.0 END AS wt,
+         CAST(dim AS INT) AS dim,
+         CASE WHEN nrm = 0 THEN 0.0
+              ELSE floor(cnt / nrm * 1000000.0 + 0.5) / 1000000.0 END AS val
+  FROM u),
+cpooled AS (
+  SELECT label, dim, sum(wt * val) / sum(wt) AS mean_val FROM cf GROUP BY label, dim),
+cnormed AS (
+  SELECT label, dim, mean_val,
+         sqrt(sum(mean_val * mean_val) OVER (PARTITION BY label)) AS norm
+  FROM cpooled)
+SELECT 'emb' AS arm, CAST(label AS VARCHAR) AS label, dim, pooled
+FROM ({weighted_pool(first_weight)})
+UNION ALL
+SELECT 'chain' AS arm, label, dim,
+       floor((mean_val / norm) * 1000000.0
+             + CASE WHEN mean_val >= 0 THEN 0.5 ELSE -0.5 END) / 1000000.0 AS pooled
+FROM cnormed"""
 
 
 def token_join_entities(names_cte: str) -> str:
