@@ -520,11 +520,17 @@ def subtree_sql(root_key: str, depth: int, edge_type: str = "CONTAINS") -> str:
     """Depth-bounded BFS oracle: recursive walk + min-depth rollup
     (matches queryops.subtree's first-reach depth)."""
     extra = f""",
+wedge AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines CTEs by default, and a recursive
+  -- CTE re-executes its joined relations EVERY iteration — without
+  -- this each walk step re-derives the full edges pipeline
+  SELECT source_key, target_key FROM edges WHERE edge_type = '{edge_type}'
+),
 walk AS (
   SELECT '{root_key}' AS node_key, 0 AS depth
   UNION ALL
   SELECT e.target_key, w.depth + 1
-  FROM walk w JOIN edges e ON e.source_key = w.node_key AND e.edge_type = '{edge_type}'
+  FROM walk w JOIN wedge e ON e.source_key = w.node_key
   WHERE w.depth < {depth}
 )"""
     return q("SELECT node_key, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node_key", extra)
@@ -548,11 +554,16 @@ def subtree_path_sql(
     re-index steps from the `from_key` side."""
     types = ", ".join(f"'{t}'" for t in path_edge_types)
     extra = f""",
+wedge AS MATERIALIZED (
+  -- MATERIALIZED for the same reason as psym below: the recursive
+  -- walk re-executes its joined relation every iteration
+  SELECT source_key, target_key FROM edges WHERE edge_type = '{edge_type}'
+),
 walk AS (
   SELECT '{root_key}' AS node_key, 0 AS depth
   UNION ALL
   SELECT e.target_key, w.depth + 1
-  FROM walk w JOIN edges e ON e.source_key = w.node_key AND e.edge_type = '{edge_type}'
+  FROM walk w JOIN wedge e ON e.source_key = w.node_key
   WHERE w.depth < {depth}
 ),
 psym AS MATERIALIZED (
@@ -563,19 +574,28 @@ psym AS MATERIALIZED (
   SELECT DISTINCT target_key AS src, source_key AS dst FROM edges WHERE edge_type IN ({types})
 ),
 plevels AS (
-  SELECT '{from_key}' AS node_key, 0 AS depth, CAST(NULL AS STRING) AS parent
+  -- recursion carries DISTINCT (node, depth) pairs only: carrying
+  -- the parent in the row multiplies the working set by in-degree
+  -- and the undirected ping-pong re-enumerates it at every depth
+  -- parity — at sf0.1 that recursion ran >30 min; this one is
+  -- bounded by N x max_depth
+  SELECT '{from_key}' AS node_key, 0 AS depth
   UNION
-  SELECT s.dst, l.depth + 1, l.node_key
+  SELECT s.dst, l.depth + 1
   FROM plevels l JOIN psym s ON s.src = l.node_key
   WHERE l.depth < {max_depth}
 ),
 pmind AS (SELECT node_key, MIN(depth) AS d FROM plevels GROUP BY node_key),
 ppar AS (
-  SELECT l.node_key, MIN(l.parent) AS parent
-  FROM plevels l
-  JOIN pmind mn ON mn.node_key = l.node_key AND mn.d = l.depth
-  JOIN pmind mp ON mp.node_key = l.parent AND mp.d = l.depth - 1
-  GROUP BY l.node_key
+  -- min parent per node among neighbors whose own min depth is
+  -- exactly one less (the Spark frontier set) — same set as
+  -- enumerating (node, depth, parent) inside the recursion, one
+  -- equi-join instead
+  SELECT c.node_key, MIN(p.node_key) AS parent
+  FROM pmind c
+  JOIN psym s ON s.dst = c.node_key
+  JOIN pmind p ON p.node_key = s.src AND p.d = c.d - 1
+  GROUP BY c.node_key
 ),
 ppathr AS (
   SELECT node_key, 0 AS step FROM (SELECT '{to_key}' AS node_key) t
